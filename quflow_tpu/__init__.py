@@ -1,0 +1,90 @@
+"""quflow_tpu: a TPU-native framework for quantized vorticity flows.
+
+Zeitlin's matrix quantization of 2-D incompressible hydrodynamics on the
+sphere, built from scratch on JAX/XLA/Pallas for TPU meshes, with the full
+capability surface of the reference package klasmodin/quflow (basis
+construction, SH<->matrix transforms, five-in-one Poisson solver family,
+isospectral/explicit/magnetic integrators, HDF5 simulation + restart,
+spectral analysis, plotting, cluster launching) re-architected TPU-first.
+
+Import layout mirrors the reference's flat ``quflow`` namespace so that a
+quflow user can switch by changing the import.
+"""
+
+from . import config  # noqa: F401  (enables x64; must come first)
+
+from .utils import (
+    elm2ind,
+    ind2elm,
+    complex_dtype,
+    real_dtype,
+    berezin_multipliers,
+    cart2sph,
+    sph2cart,
+    sphgrid,
+    qtime2seconds,
+    seconds2qtime,
+    poisson_finite_differences,
+)
+from .ops import geometry
+from .ops.geometry import (
+    hbar,
+    bracket,
+    norm_L2,
+    inner_L2,
+    norm_Linf,
+    norm_L1,
+    integral,
+    so3_generators,
+    rotate,
+    cartesian_generators,
+    grad,
+)
+from .ops import laplacian
+from .ops.laplacian import (
+    laplace,
+    solve_poisson,
+    solve_heat,
+    solve_helmholtz,
+    solve_viscdamp,
+    solve_globalqg,
+)
+from .quantization import (
+    basis_break_index,
+    compute_basis,
+    get_basis,
+    shr2mat,
+    mat2shr,
+    shc2mat,
+    mat2shc,
+    shr2mat_,
+    mat2shr_,
+    shc2mat_,
+    mat2shc_,
+    elmr2mat,
+    elmc2mat,
+)
+from . import transforms
+from .transforms import (
+    fun2shc,
+    shc2fun,
+    fun2shr,
+    shr2fun,
+    shc2shr,
+    shr2shc,
+    fun2img,
+    img2fun,
+    as_fun,
+    as_shr,
+)
+from . import integrators
+from .integrators import (
+    isomp,
+    isomp_fixedpoint,
+    isomp_quasinewton,
+    isomp_simple,
+    estimate_stepsize,
+)
+from . import io
+
+__version__ = "0.1.0"

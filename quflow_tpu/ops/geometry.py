@@ -1,0 +1,113 @@
+"""Geometry of u(N): scaled norms, brackets, so(3) generators.
+
+Functional parity with reference quflow/geometry.py (hbar geometry.py:7-9,
+bracket :41-49, norms :53-110, integral :113-129, so3/cartesian generators
+:132-194, rotate :154-170, grad :197-207).  Implemented on jax.numpy so every
+function is jit/vmap-compatible; all accept numpy arrays too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+__all__ = [
+    "hbar",
+    "bracket",
+    "norm_L2",
+    "inner_L2",
+    "norm_Linf",
+    "norm_L1",
+    "integral",
+    "so3_generators",
+    "rotate",
+    "cartesian_generators",
+    "grad",
+    "project_skewherm",
+]
+
+
+def hbar(N):
+    """Quantization constant hbar = 2/sqrt(N^2-1)."""
+    return 2.0 / np.sqrt(float(N) ** 2 - 1.0)
+
+
+def bracket(P, W):
+    """Quantized Poisson bracket (1/hbar) [P, W]."""
+    N = P.shape[-1]
+    A = P @ W - W @ P
+    return A / hbar(N)
+
+
+def norm_L2(W):
+    """Scaled Frobenius norm: ||W||_F / sqrt(N), isometric to the L^2 norm of
+    the corresponding vorticity field."""
+    N = W.shape[-1]
+    return jnp.linalg.norm(W, ord="fro", axis=(-2, -1)) / jnp.sqrt(float(N))
+
+
+def inner_L2(P, W):
+    """Scaled real Frobenius inner product tr(P W^H)/N."""
+    N = W.shape[-1]
+    return jnp.sum(P * jnp.conj(W), axis=(-2, -1)).real / N
+
+
+def norm_Linf(W):
+    """Spectral norm (largest singular value), corresponding to L-infinity."""
+    return jnp.linalg.norm(W, ord=2, axis=(-2, -1))
+
+
+def norm_L1(W):
+    """Scaled nuclear norm sum |eig(W)| / N, corresponding to L^1."""
+    N = W.shape[-1]
+    return jnp.abs(jnp.linalg.eigvals(W)).sum(-1) / N
+
+
+def integral(W):
+    """Integral of the function represented by W: Re(-i tr(W)/N)."""
+    N = W.shape[-1]
+    trW = jnp.trace(W, axis1=-2, axis2=-1) / N
+    return jnp.real(-1j * trW)
+
+
+def project_skewherm(W):
+    """Orthogonal projection onto skew-Hermitian matrices."""
+    return 0.5 * (W - jnp.conj(jnp.swapaxes(W, -1, -2)))
+
+
+def so3_generators(N, dtype=np.complex128):
+    """Basis S1, S2, S3 of the spin-(N-1)/2 representation of so(3) in u(N),
+    satisfying [S1,S2]=S3 (cyclically)."""
+    s = (N - 1) / 2
+    k = np.arange(-s, s)  # length N-1
+    off = np.sqrt(s * (s + 1) - k * (k + 1))
+    S3 = 1j * np.diag(np.arange(-s, s + 1))
+    S1 = 1j * (np.diag(off, 1) + np.diag(off, -1)) / 2
+    S2 = np.diag(off, 1) / 2 - np.diag(off, -1) / 2
+    return S1.astype(dtype), S2.astype(dtype), S3.astype(dtype)
+
+
+def cartesian_generators(N, dtype=np.complex128):
+    """Matrices X_i = hbar S_i quantizing the Cartesian coordinate functions
+    x_i on the sphere; T_{1,-1} = sqrt(3) X2, T_{1,0} = sqrt(3) X3,
+    T_{1,1} = sqrt(3) X1."""
+    h = hbar(N)
+    S1, S2, S3 = so3_generators(N, dtype=dtype)
+    return h * S1, h * S2, h * S3
+
+
+def rotate(xi, W):
+    """Axis-angle (Rodrigues) rotation of a vorticity matrix: R W R^H with
+    R = expm(xi . S)."""
+    N = W.shape[-1]
+    S1, S2, S3 = so3_generators(N, dtype=np.asarray(W).dtype)
+    R = jsl.expm(xi[0] * S1 + xi[1] * S2 + xi[2] * S3)
+    return R @ W @ jnp.conj(R.T)
+
+
+def grad(P):
+    """Cartesian gradient components (1/hbar)[X_i, P], i = 1..3."""
+    N = P.shape[-1]
+    X = cartesian_generators(N, np.asarray(P).dtype)
+    return jnp.stack([bracket(Xi, P) for Xi in X])

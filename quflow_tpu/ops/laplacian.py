@@ -1,0 +1,211 @@
+"""Quantized Laplacian / Poisson-family solvers (the W -> P hot path).
+
+Public API mirrors the reference backends' informal interface
+(quflow/laplacian/{cpu,tridiagonal,direct,sparse}.py): ``laplacian``,
+``laplace``, ``solve_poisson``, ``solve_heat``, ``solve_helmholtz``,
+``solve_viscdamp``, ``solve_globalqg`` - but there is a single TPU-native
+implementation instead of five backends: operators live in diag-packed layout
+(ops/diagpack.py) and are solved with the host-prefactorized scan-parallel
+Thomas of ops/tridiag.py.
+
+Configuration is static (keyword ``skewh``), replacing the reference's
+module-global ``select_skewherm`` function-pointer mutation
+(cpu.py:563-591).  All solves enforce the trace boundary condition the way
+the reference does (rhs trace subtraction + solution trace projection;
+cpu.py:311-317, 342-352, tridiagonal.py:208-210).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .diagpack import mat2diagh, diagh2mat, pack_indices, num_rows
+from .tridiag import packed_laplacian, TridiagFactors, solve_factored, dot_packed
+from .geometry import hbar
+
+__all__ = [
+    "laplacian",
+    "laplace",
+    "solve_poisson",
+    "solve_heat",
+    "solve_helmholtz",
+    "solve_viscdamp",
+    "solve_globalqg",
+]
+
+
+# ---------------------------------------------------------------------------
+# operator registry (pure builders + caching; no mutable global mode state)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=128)
+def _lap_op(N, nrows, bc, dtype_str="float64"):
+    return packed_laplacian(N, nrows=nrows, bc=bc, dtype=np.dtype(dtype_str))
+
+
+def laplacian(N, bc=False, skewh=True):
+    """Packed quantized Laplacian, shape (R, 2, N) with R = N//2+1 or N."""
+    return _lap_op(N, num_rows(N, skewh), bc)
+
+
+@lru_cache(maxsize=256)
+def _factors(N, skewh, kind, params):
+    """Prefactorized operator for a given solve kind.
+
+    kind/params:
+      ('poisson', ())                    lap with trace bc
+      ('heat', (h_nu,))                  I - h_nu * lap
+      ('helmholtz', (alpha,))            I - alpha * lap
+      ('viscdamp', (h, nu, alpha, th))   (1 + h a th) - h nu th * lap
+      ('globalqg', (gamma,))             lap - (gamma/2)(z_i^2 + z_j^2)
+    """
+    R = num_rows(N, skewh)
+    lap = packed_laplacian(N, nrows=R, bc=(kind == "poisson"))
+    if kind == "poisson":
+        op = lap
+    elif kind == "heat":
+        (h_nu,) = params
+        op = -h_nu * lap
+        op[:, 0, :] += 1.0
+    elif kind == "helmholtz":
+        (alpha,) = params
+        op = -alpha * lap
+        op[:, 0, :] += 1.0
+    elif kind == "viscdamp":
+        h, nu, alpha, theta = params
+        op = -(h * nu * theta) * lap
+        op[:, 0, :] += 1.0 + h * alpha * theta
+    elif kind == "globalqg":
+        (gamma,) = params
+        op = lap.copy()
+        s = (N - 1) / 2
+        z = hbar(N) * np.arange(-s, s + 1)
+        rows, cols = pack_indices(N, skewh)
+        op[:, 0, :] -= (gamma / 2.0) * (z[rows] ** 2 + z[cols] ** 2)
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    return TridiagFactors(op)
+
+
+# ---------------------------------------------------------------------------
+# core packed solve (jittable)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("skewh",))
+def _solve_packed(W, w, binv, u, skewh):
+    fac = _FacView(w, binv, u)
+    d = mat2diagh(W, skewh=skewh, tracefree=True)
+    x = solve_factored(fac, d)
+    N = W.shape[-1]
+    tr = jnp.sum(x[..., 0, :], axis=-1, keepdims=True) / N
+    x = x.at[..., 0, :].add(-tr)
+    return diagh2mat(x, skewh=skewh)
+
+
+class _FacView:
+    __slots__ = ("w", "binv", "u")
+
+    def __init__(self, w, binv, u):
+        self.w, self.binv, self.u = w, binv, u
+
+
+@partial(jax.jit, static_argnames=("skewh",))
+def _dot_packed_mat(P, op, skewh):
+    d = mat2diagh(P, skewh=skewh, tracefree=False)
+    out = dot_packed(op, d)
+    return diagh2mat(out, skewh=skewh)
+
+
+def _is_skewh(W):
+    """Auto-detect skew-Hermiticity for concrete (non-traced) inputs."""
+    if isinstance(W, np.ndarray) or not isinstance(W, jax.core.Tracer):
+        Wn = np.asarray(W)
+        return bool(np.allclose(Wn, -np.conj(np.swapaxes(Wn, -1, -2))))
+    raise ValueError(
+        "skewh must be passed explicitly when called on traced arrays"
+    )
+
+
+def _resolve_skewh(W, skewh):
+    return _is_skewh(W) if skewh is None else skewh
+
+
+def _solve_kind(W, kind, params, skewh):
+    N = W.shape[-1]
+    fac = _factors(N, skewh, kind, params)
+    return _solve_packed(W, fac.w, fac.binv, fac.u, skewh)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def laplace(P, skewh=None):
+    """Apply the quantized Laplacian to a stream matrix."""
+    skewh = _resolve_skewh(P, skewh)
+    N = P.shape[-1]
+    op = jnp.asarray(laplacian(N, bc=False, skewh=skewh))
+    return _dot_packed_mat(P, op, skewh)
+
+
+def solve_poisson(W, skewh=None, reduce="first"):
+    """Stream matrix P solving Delta_N P = W with the trace bc tr(P)=0.
+
+    For stacked states (k, N, N) the reference semantics apply
+    (cpu.py:672-734): ``reduce='first'`` solves state 0 and broadcasts,
+    ``reduce='sum'`` solves the sum, ``reduce='none'`` solves each state
+    (the TPU-native batched/ensemble path).
+    """
+    skewh = _resolve_skewh(W, skewh)
+    if W.ndim > 2 and reduce != "none":
+        if reduce == "first":
+            W0 = W[(0,) * (W.ndim - 2)]
+        elif reduce == "sum":
+            W0 = W.reshape((-1,) + W.shape[-2:]).sum(axis=0)
+        else:
+            raise ValueError(reduce)
+        P0 = _solve_kind(W0, "poisson", (), skewh)
+        return jnp.broadcast_to(P0, W.shape)
+    return _solve_kind(W, "poisson", (), skewh)
+
+
+def solve_heat(h_times_nu, W0, skewh=None):
+    """One backward-Euler step of the quantized heat equation:
+    (I - h nu Delta) W = W0."""
+    skewh = _resolve_skewh(W0, skewh)
+    return _solve_kind(W0, "heat", (float(h_times_nu),), skewh)
+
+
+def solve_helmholtz(W, alpha=1.0, skewh=None):
+    """Solve (I - alpha Delta) P = W."""
+    skewh = _resolve_skewh(W, skewh)
+    return _solve_kind(W, "helmholtz", (float(alpha),), skewh)
+
+
+def solve_viscdamp(h, W0, nu=1e-4, alpha=0.01, force=None, theta=1, skewh=None):
+    """One theta-scheme step of W' - nu Delta W + alpha W = F
+    (Crank-Nicolson at theta=0.5; cf. reference tridiagonal.py:364-420)."""
+    skewh = _resolve_skewh(W0, skewh)
+    if theta == 1:
+        Wrhs = W0
+    else:
+        Wrhs = (1.0 - alpha * h * (1 - theta)) * W0 + (nu * h * (1 - theta)) * laplace(
+            W0, skewh=skewh
+        )
+    if force is not None:
+        Wrhs = Wrhs + h * force
+    return _solve_kind(
+        Wrhs, "viscdamp", (float(h), float(nu), float(alpha), float(theta)), skewh
+    )
+
+
+def solve_globalqg(W, gamma=1.0, skewh=None):
+    """Solve the global quasi-geostrophic stream equation
+    Delta P - (gamma/2)(Z^2 P + P Z^2) = W with Z the quantized z coordinate
+    (cf. reference cpu.py:829-877)."""
+    skewh = _resolve_skewh(W, skewh)
+    return _solve_kind(W, "globalqg", (float(gamma),), skewh)

@@ -1,0 +1,156 @@
+"""Batched tridiagonal operators in diag-packed layout, solved scan-parallel.
+
+The quantized Laplacian acting on matrix diagonal m at position k has main
+coefficient -((N-1)(2k+1+m) - 2k(k+m)) and off-diagonal coupling
+sqrt((k+m)(N-k-m) k(N-k)) (cf. reference quflow/laplacian/cpu.py:82-83,
+tridiagonal.py:95-133).  In packed layout (see ops/diagpack.py) the operator
+is a batch of R independent real symmetric tridiagonal systems of equal
+length N, stored as ``op[r, 0, :]`` = main diagonal, ``op[r, 1, :-1]`` =
+sub/super diagonal (element j couples positions j and j+1); the slot between
+the two sub-blocks of a packed row is zero, which decouples them.
+
+TPU-native solve
+----------------
+The reference sweeps Thomas sequentially per row (numba prange,
+tridiagonal.py:165-215) or calls cuSPARSE gtsv2StridedBatch
+(experimental/cuda.py:358-418).  Neither maps to TPU.  Here the operator is
+*prefactorized on the host* (LU of a fixed tridiagonal matrix), after which
+the solve consists of two first-order affine recurrences
+
+    forward :  y_i = d_i - w_i y_{i-1}
+    backward:  x_i = g_i - u_i x_{i+1},   g = y / btilde
+
+Each affine recurrence is evaluated with ``jax.lax.associative_scan``
+(composition of affine maps is associative), giving O(log N) depth fully
+vectorized over the R rows and any batch dims - the "parallel-in-k" solve
+that SURVEY.md section 7.3 ranks as the top hard part.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "packed_laplacian",
+    "thomas_factor",
+    "solve_factored",
+    "dot_packed",
+    "TridiagFactors",
+]
+
+
+def packed_laplacian(N, nrows=None, bc=False, dtype=np.float64):
+    """Packed quantized Laplacian, shape (nrows, 2, N).
+
+    nrows = N//2+1 (skew-Hermitian pack) or N (wrapped pack).  With ``bc`` the
+    singular m=0 system is regularised by op[0,0,0] -= 1/2 (trace boundary
+    condition; cf. reference tridiagonal.py:130-131).
+    """
+    if nrows is None:
+        nrows = N // 2 + 1
+    m = np.arange(nrows)[:, None].astype(np.float64)
+    i = np.arange(N)[None, :].astype(np.float64)
+    Nf = float(N)
+
+    in_first = i < Nf - m
+    # main diagonal: block 1 indexes position i along diagonal m; block 2
+    # indexes position k = i-(N-m) along diagonal N-m.
+    k = i - (Nf - m)
+    mm = Nf - m
+    d1 = -((Nf - 1) * (2 * i + 1 + m) - 2 * i * (i + m))
+    d2 = -((Nf - 1) * (2 * k + 1 + mm) - 2 * k * (k + mm))
+    d = np.where(in_first, d1, d2)
+
+    # off-diagonal at slot j couples j <-> j+1 (zero between the blocks)
+    e1 = (i + 1 + m) * (Nf - i - 1 - m) * (i + 1) * (Nf - i - 1)
+    kk = k + 1  # local position of slot j+1 in block 2
+    e2 = (kk + mm) * (m - kk) * kk * (Nf - kk)
+    e = np.where(
+        i < Nf - m - 1, e1, np.where((i >= Nf - m) & (i < Nf - 1), e2, 0.0)
+    )
+    e = np.sqrt(np.maximum(e, 0.0))
+
+    op = np.stack([d, e], axis=1).astype(dtype)
+    if bc:
+        op[0, 0, 0] -= 0.5
+    return op
+
+
+class TridiagFactors:
+    """Host-prefactorized batched tridiagonal operator.
+
+    Attributes (device arrays, shape (R, N)):
+      w     forward-elimination multipliers (w[:, 0] = 0)
+      binv  reciprocal of the eliminated main diagonal
+      u     back-substitution multipliers  a_j / btilde_j (u[:, -1] = 0)
+    """
+
+    def __init__(self, op: np.ndarray):
+        op = np.asarray(op, dtype=np.float64)
+        R, _, N = op.shape[0], op.shape[1], op.shape[2]
+        b = op[:, 0, :].copy()
+        a = op[:, 1, :].copy()
+        a[:, -1] = 0.0
+        w = np.zeros_like(b)
+        bt = b.copy()
+        for j in range(1, N):
+            w[:, j] = a[:, j - 1] / bt[:, j - 1]
+            bt[:, j] = b[:, j] - w[:, j] * a[:, j - 1]
+        binv = 1.0 / bt
+        u = a * binv
+        # Stored as host numpy: factors may be built inside a jit trace (via
+        # the operator registry), where device arrays would leak tracers.
+        # jnp treats these as embedded constants at use sites.
+        dt = op.dtype
+        self.w = w.astype(dt)
+        self.binv = binv.astype(dt)
+        self.u = u.astype(dt)
+        self.op = op.astype(dt)
+
+
+def _affine_scan(c, v, axis=-1):
+    """All prefix evaluations of the affine chain s -> c_i s + v_i from s=0."""
+
+    def comb(p, q):
+        cp, vp = p
+        cq, vq = q
+        return cp * cq, cq * vp + vq
+
+    _, y = lax.associative_scan(comb, (c, v), axis=axis)
+    return y
+
+
+def solve_factored(fac: TridiagFactors, rhs):
+    """Solve op @ x = rhs for batched rhs (..., R, N) (real or complex)."""
+    w = fac.w
+    u = fac.u
+    binv = fac.binv
+    if jnp.iscomplexobj(rhs):
+        re = _solve_real(w, u, binv, rhs.real)
+        im = _solve_real(w, u, binv, rhs.imag)
+        return lax.complex(re, im)
+    return _solve_real(w, u, binv, rhs)
+
+
+def _solve_real(w, u, binv, d):
+    cfwd = jnp.broadcast_to(-w, d.shape)
+    y = _affine_scan(cfwd, d)
+    g = y * binv
+    cbwd = jnp.broadcast_to(jnp.flip(-u, -1), d.shape)
+    x = jnp.flip(_affine_scan(cbwd, jnp.flip(g, -1)), -1)
+    return x
+
+
+def dot_packed(op, d):
+    """Apply the packed tridiagonal operator: (..., R, N) -> (..., R, N)."""
+    main = op[:, 0, :]
+    off = op[:, 1, :]
+    out = main * d
+    out = out.at[..., :, 1:].add(off[:, :-1] * d[..., :, :-1])
+    out = out.at[..., :, :-1].add(off[:, :-1] * d[..., :, 1:])
+    return out
