@@ -86,5 +86,23 @@ from .integrators import (
     estimate_stepsize,
 )
 from . import io
+from . import physics
+from .physics import energy_euler, enstrophy
+from . import analysis
+from .analysis import (
+    scale_decomposition,
+    energy_spectrum,
+    enstrophy_spectrum,
+    random_shr,
+    gamma_ratio,
+)
+from . import dynamics
+from .dynamics import project_el, blob, north_blob
+from . import sim
+from . import simulation  # alias module, reference-compatible name
+from .sim import QuSimulation, create_runfile
+from .sim.solve import solve
+from . import models
+from . import parallel
 
 __version__ = "0.1.0"

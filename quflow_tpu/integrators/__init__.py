@@ -1,4 +1,5 @@
 from .erk import euler, heun, rk4, explicit
+from .mhd import solve_mhd, magmp_fixedpoint, magmp
 from .isospectral import (
     isomp,
     isomp_fixedpoint,

@@ -1,0 +1,26 @@
+"""Global quasi-geostrophic flow: Euler dynamics with the QG stream operator
+(Delta - (gamma/2)(Z^2 . + . Z^2))^-1 as Hamiltonian (reference
+cpu.py:829-877 ``solve_globalqg``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from ..ops.laplacian import solve_globalqg
+from ..integrators.isospectral import isomp_fixedpoint
+from .euler import EulerFlow
+
+
+@dataclass
+class GlobalQGFlow(EulerFlow):
+    gamma: float = 1.0
+
+    def hamiltonian(self, W):
+        return solve_globalqg(W, gamma=self.gamma, skewh=True)
+
+    def step(self, W, dt, steps=1, **kwargs):
+        ham = partial(solve_globalqg, gamma=self.gamma, skewh=True)
+        return isomp_fixedpoint(W, dt, steps=steps, hamiltonian=ham, **kwargs)

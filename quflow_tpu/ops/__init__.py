@@ -13,8 +13,8 @@ from .geometry import (
     project_skewherm,
 )
 from .diagpack import mat2diagh, diagh2mat, pack_indices, num_rows
+from . import laplacian
 from .laplacian import (
-    laplacian,
     laplace,
     solve_poisson,
     solve_heat,

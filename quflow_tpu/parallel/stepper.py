@@ -1,0 +1,186 @@
+"""Branch-free production stepper for TPU meshes.
+
+This is the TPU-native equivalent of the reference's GPU-resident stepper
+``IsompCUDA`` (reference quflow/experimental/isospectral_cuda.py:50-358):
+the whole multi-step integration is one jitted program - no host syncs, no
+data-dependent branches (fixed fixed-point iteration count, as the
+reference's profiling harness uses, run_profiling.py:126), state resident on
+device between calls.  With a mesh, sharding constraints place the GEMMs on a
+2-D ('i','j') block layout and the diag-packed solve rows jointly over
+('i','j'); XLA GSPMD inserts the collectives.
+
+Precision: TPU v5e has no complex128; the stepper runs in the dtype of its
+input (complex64 on TPU, complex128 on CPU), with optional Kahan compensated
+summation of the state update to suppress accumulated rounding (the same
+Brouwer's-law trick the reference uses, isospectral.py:553-586).
+
+I/O representation: the TPU runtime here does not implement host<->device
+transfers of complex arrays, so the public stepper functions use
+*split-complex* I/O - state passed as stacked (2, ..., N, N) real planes
+(re, im) and converted with lax.complex inside the jitted program, where
+complex arithmetic is fully supported.  This mirrors the reference's CUDA
+path, which also solves Re/Im planes separately (cuda.py:364-418).
+"""
+
+from __future__ import annotations
+
+from functools import partial, lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.diagpack import mat2diagh, diagh2mat
+from ..ops.tridiag import solve_factored
+from ..ops.laplacian import _factors
+from ..ops.geometry import hbar
+from .mesh import rows_spec
+
+__all__ = ["build_step_fn", "build_poisson_fn"]
+
+
+class _Fac:
+    __slots__ = ("w", "binv", "u")
+
+    def __init__(self, w, binv, u):
+        self.w, self.binv, self.u = w, binv, u
+
+
+def _poisson_core(W, w, binv, u, mesh=None, batched=False):
+    N = W.shape[-1]
+    d = mat2diagh(W, skewh=True, tracefree=True)
+    if mesh is not None:
+        d = lax.with_sharding_constraint(d, NamedSharding(mesh, rows_spec(batched)))
+    x = solve_factored(_Fac(w, binv, u), d)
+    tr = jnp.sum(x[..., 0, :], axis=-1, keepdims=True) / N
+    x = x.at[..., 0, :].add(-tr)
+    Pmat = diagh2mat(x, skewh=True)
+    if mesh is not None:
+        spec = P("dp", "i", "j") if batched else P(None, "i", "j")
+        Pmat = lax.with_sharding_constraint(Pmat, NamedSharding(mesh, spec))
+    return Pmat
+
+
+def _real_factors(N, rdtype):
+    fac = _factors(N, True, "poisson", ())
+    rd = np.dtype(rdtype)
+    return fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
+
+
+def to_planes(W):
+    """Complex (..., N, N) -> stacked real planes (2, ..., N, N)."""
+    W = np.asarray(W)
+    return np.stack([W.real, W.imag]).astype(W.real.dtype)
+
+
+def from_planes(Wri):
+    """Stacked real planes (2, ..., N, N) -> complex (..., N, N)."""
+    Wri = np.asarray(Wri)
+    return Wri[0] + 1j * Wri[1]
+
+
+def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=True):
+    """Jitted batched Poisson solve.  With ``planes_io`` (default, required
+    on TPU) takes/returns split-complex planes (2, ..., N, N)."""
+    rdtype = np.zeros(1, dtype=dtype).real.dtype
+    w, binv, u = _real_factors(N, rdtype)
+
+    @jax.jit
+    def poisson_planes(Wri):
+        W = lax.complex(Wri[0], Wri[1])
+        Pm = _poisson_core(W, w, binv, u, mesh=mesh, batched=batched)
+        return jnp.stack([Pm.real, Pm.imag])
+
+    @jax.jit
+    def poisson(W):
+        return _poisson_core(W, w, binv, u, mesh=mesh, batched=batched)
+
+    return poisson_planes if planes_io else poisson
+
+
+def build_step_fn(
+    N,
+    dt,
+    steps=1,
+    maxit=5,
+    dtype=np.complex64,
+    compsum=True,
+    mesh=None,
+    batched=False,
+    precision="highest",
+    planes_io=True,
+):
+    """Build the jitted multi-step isospectral-midpoint runner.
+
+    Returns ``fn(W, dW, csum) -> (W, dW, csum)``; thread dW/csum between
+    calls (warm-started fixed point + Kahan compensation state), or pass
+    zeros.  All shapes static; ``batched`` enables a leading ensemble axis
+    sharded over 'dp'.
+
+    With ``planes_io`` (default; required on TPU, where complex host<->device
+    transfers are unimplemented) each of W/dW/csum is passed as stacked real
+    planes (2, ..., N, N) and the conversion happens inside jit.
+
+    ``precision`` controls the MXU matmul path: 'highest' (f32-accurate via
+    multi-pass bf16, the scientific default), 'high', or 'default'
+    (single-pass bf16 - fast but ~3 decimal digits; only for throughput
+    experiments).
+    """
+    rdtype = np.zeros(1, dtype=dtype).real.dtype
+    w, binv, u = _real_factors(N, rdtype)
+    vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
+    prec = dict(
+        highest=lax.Precision.HIGHEST,
+        high=lax.Precision.HIGH,
+        default=lax.Precision.DEFAULT,
+    )[precision]
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=prec)
+
+    def fixed_point(W, dW):
+        def it(k, st):
+            dW, _PWc = st
+            Whalf = W + dW
+            Phalf = _poisson_core(Whalf, w, binv, u, mesh=mesh, batched=batched)
+            Phalf = Phalf * vareps
+            PW = mm(Phalf, Whalf)
+            PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
+            dW = mm(PW, Phalf) + PWc
+            return (dW, PWc)
+
+        return lax.fori_loop(0, maxit, it, (dW, jnp.zeros_like(W)))
+
+    def step(carry, _):
+        W, dW, csum = carry
+        dW, PWc = fixed_point(W, dW)
+        upd = 2.0 * PWc
+        if compsum:
+            y = upd - csum
+            t = W + y
+            csum = (t - W) - y
+            W = t
+        else:
+            W = W + upd
+        return (W, dW, csum), None
+
+    @jax.jit
+    def run(W, dW, csum):
+        (W, dW, csum), _ = lax.scan(step, (W, dW, csum), None, length=steps)
+        return W, dW, csum
+
+    @jax.jit
+    def run_planes(Wri, dWri, cri):
+        W = lax.complex(Wri[0], Wri[1])
+        dW = lax.complex(dWri[0], dWri[1])
+        csum = lax.complex(cri[0], cri[1])
+        (W, dW, csum), _ = lax.scan(step, (W, dW, csum), None, length=steps)
+        return (
+            jnp.stack([W.real, W.imag]),
+            jnp.stack([dW.real, dW.imag]),
+            jnp.stack([csum.real, csum.imag]),
+        )
+
+    return run_planes if planes_io else run

@@ -1,0 +1,73 @@
+"""Declarative callable registry for simulation persistence.
+
+The reference pickles callables (hamiltonian/integrator/loggers) into HDF5
+attrs and exec's stored 'prerun' source on load (reference
+quflow/simulation.py:136-142, 203-234, 258-263) - a security and portability
+hazard SURVEY.md section 5 flags as not-to-copy.  Here persisted callables
+are stored *by name* and resolved through this registry; arbitrary code never
+runs on load (a stored ``prerun`` string is only executed when the user opts
+in with ``trusted=True``).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+_REGISTRY: dict = {}
+
+
+def register(name, fn=None):
+    """Register a callable for by-name persistence.  Usable as decorator."""
+    if fn is None:
+        def deco(f):
+            _REGISTRY[name] = f
+            return f
+
+        return deco
+    _REGISTRY[name] = fn
+    return fn
+
+
+def resolve(name):
+    """Name -> callable; returns the name itself if unknown (with warning)."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    warnings.warn(
+        f"Callable '{name}' is not registered in quflow_tpu.sim.registry; "
+        "returning the name.  Register it before resuming this simulation."
+    )
+    return name
+
+
+def name_of(fn):
+    """Callable -> registered name (or its __name__ if registered that way)."""
+    for k, v in _REGISTRY.items():
+        if v is fn:
+            return k
+    nm = getattr(fn, "__name__", None)
+    if nm in _REGISTRY:
+        return nm
+    return None
+
+
+def _register_defaults():
+    from ..ops import laplacian as lap
+    from ..integrators import isospectral as iso
+    from ..integrators import erk, mhd
+    from .. import physics
+    from ..ops import geometry
+
+    for mod, names in (
+        (lap, ["solve_poisson", "solve_heat", "solve_helmholtz", "solve_viscdamp",
+               "solve_globalqg", "laplace"]),
+        (iso, ["isomp", "isomp_fixedpoint", "isomp_quasinewton", "isomp_simple"]),
+        (erk, ["euler", "heun", "rk4"]),
+        (mhd, ["magmp", "magmp_fixedpoint", "solve_mhd"]),
+        (physics, ["energy_euler", "enstrophy", "norm_H1", "norm_Hm1"]),
+        (geometry, ["norm_L2", "norm_Linf", "norm_L1", "integral"]),
+    ):
+        for nm in names:
+            _REGISTRY.setdefault(nm, getattr(mod, nm))
+
+
+_register_defaults()

@@ -1,0 +1,197 @@
+"""Simulation storage + driver tests, porting the reference contract
+(tests/test_simulation.py): attribute fidelity across reopen, callback
+append/time/step bookkeeping, qutype dtype policies, loggers, and the
+restart-equality guarantee (50+50 steps via file round-trip equals 100
+straight steps)."""
+
+import numpy as np
+import pytest
+
+import quflow_tpu as qf
+from quflow_tpu.sim import QuSimulation, solve, registry
+
+
+def get_random_mat(N=5, seed=0):
+    rng = np.random.RandomState(seed)
+    W = rng.randn(N, N) + 1j * rng.randn(N, N)
+    W -= W.conj().T
+    return W
+
+
+@pytest.mark.parametrize("N", [4, 64])
+@pytest.mark.parametrize("t", [0.0, 0.34543])
+@pytest.mark.parametrize("datapath", ["/", "mypath/"])
+def test_init_sim(N, t, datapath, tmpdir):
+    W = get_random_mat(N)
+    filename = str(tmpdir.join("testsim.hdf5"))
+    sim = QuSimulation(
+        filename, overwrite=True, datapath=datapath, state=W, time=t,
+        energy=0.0, enstrophy=0.0,
+    )
+    sim["hamiltonian"] = qf.solve_poisson
+    sim2 = QuSimulation(filename, datapath=datapath)
+    assert sim.qutypes == sim2.qutypes
+    assert sim["hamiltonian"] is qf.solve_poisson
+    assert sim2["hamiltonian"] is qf.solve_poisson
+    for name in ["mat", "time", "energy", "enstrophy"]:
+        np.testing.assert_equal(sim[name], sim2[name])
+
+
+def test_callback(tmpdir):
+    W = get_random_mat(35)
+    filename = str(tmpdir.join("testsim.hdf5"))
+    N = W.shape[-1]
+    sim = QuSimulation(filename, overwrite=True, state=W, energy=0.7)
+
+    Wlist = np.zeros((10, N, N), dtype=np.complex128)
+    Wlist[0] = W
+    for i in range(1, 10):
+        Wlist[i] = get_random_mat(N, seed=i)
+        sim(W=Wlist[i], delta_time=0.1, delta_steps=4, energy=0.7)
+
+    np.testing.assert_allclose(sim["time"], np.arange(0.0, 1.0, 0.1))
+    np.testing.assert_equal(sim["step"], np.arange(0, 40, 4))
+    np.testing.assert_equal(sim["mat", :], Wlist)
+    np.testing.assert_equal(sim["energy", :], np.full(10, 0.7))
+    np.testing.assert_equal(
+        qf.shr2fun(qf.mat2shr(Wlist[-1])).astype(np.float32), sim["fun", -1]
+    )
+
+
+@pytest.mark.parametrize(
+    "qutypes",
+    [
+        {"mat": np.complex64, "shc": None, "shr": np.float16},
+        {"shr": np.float32, "fun": np.float32},
+    ],
+)
+def test_qutypes(qutypes, tmpdir):
+    W = get_random_mat(35)
+    filename = str(tmpdir.join("testsim.hdf5"))
+    sim = QuSimulation(filename, overwrite=True, qutypes=qutypes, state=W)
+    for i in range(1, 4):
+        sim(W=get_random_mat(35, seed=i), delta_time=0.1)
+
+    from quflow_tpu.simulation import _default_qutype2varname as v2n
+
+    if v2n["mat"] in sim.fieldnames and "mat" in qutypes:
+        assert sim[v2n["mat"], -1].dtype == qutypes["mat"]
+    if v2n["shr"] in sim.fieldnames and "shr" in qutypes:
+        assert sim[v2n["shr"], -1].dtype == qutypes["shr"]
+    if "fun" in qutypes:
+        assert sim[v2n["fun"], -1].dtype == qutypes["fun"]
+
+
+def test_registered_custom_hamiltonian(tmpdir):
+    """Replacement for the reference's pickled-callable/prerun mechanism:
+    custom callables persist by registry name (no code execution on load)."""
+    W = get_random_mat(22)
+    filename = str(tmpdir.join("testsim.hdf5"))
+
+    @registry.register("myham_test")
+    def myham(W):
+        return 0.5 * np.asarray(qf.solve_poisson(W))
+
+    sim = QuSimulation(filename, overwrite=True, state=W)
+    sim["hamiltonian"] = myham
+    P = myham(W)
+
+    sim2 = QuSimulation(filename)
+    P2 = sim2["hamiltonian"](W)
+    np.testing.assert_equal(P, P2)
+
+
+def test_logger(tmpdir):
+    W = get_random_mat(35)
+    N = W.shape[-1]
+    filename = str(tmpdir.join("testsim.hdf5"))
+
+    def vector_output(W):
+        return np.asarray(W)[:, 0]
+
+    sim = QuSimulation(
+        filename, overwrite=True, state=W,
+        loggers={"normL2": qf.geometry.norm_L2, "vector": vector_output},
+    )
+    Wlist = np.zeros((10, N, N), dtype=np.complex128)
+    Wlist[0] = W
+    for i in range(1, 10):
+        Wlist[i] = get_random_mat(N, seed=100 + i)
+        sim(W=Wlist[i], delta_time=0.1, delta_steps=4)
+
+    np.testing.assert_allclose(
+        sim["normL2", -1], float(qf.geometry.norm_L2(Wlist[-1]))
+    )
+    np.testing.assert_equal(sim["vector", 3], vector_output(Wlist[3]))
+
+
+def test_solve_driver(tmpdir):
+    W = get_random_mat(35)
+    N = W.shape[-1]
+    filename = str(tmpdir.join("testsim.hdf5"))
+    sim = QuSimulation(
+        filename, overwrite=True, state=W, loggers={"normL2": qf.geometry.norm_L2}
+    )
+    solve(W, stepsize=0.1, steps=100, steps_out=10, progress_bar=False, callback=sim)
+    np.testing.assert_allclose(
+        qf.qtime2seconds(1.0, N=N) * np.arange(11), sim["time"], rtol=1e-12
+    )
+    np.testing.assert_equal(10 * np.arange(11), sim["step"])
+    np.testing.assert_allclose(
+        float(qf.geometry.norm_L2(sim["mat", -1])), sim["normL2", -1]
+    )
+
+
+def test_solve_restart(tmpdir):
+    """50+50 steps via the file round-trip must equal 100 straight steps."""
+    W = get_random_mat(35)
+    filename = str(tmpdir.join("testsim.hdf5"))
+    sim = QuSimulation(filename, overwrite=True, state=W)
+    solve(W.copy(), stepsize=0.1, steps=50, steps_out=10, progress_bar=False, callback=sim)
+
+    sim2 = QuSimulation(filename)
+    solve(
+        sim2["mat", -1], stepsize=0.1, steps=50, steps_out=10,
+        progress_bar=False, callback=sim,
+    )
+
+    filename3 = str(tmpdir.join("testsim3.hdf5"))
+    sim3 = QuSimulation(filename3, overwrite=True, state=W)
+    solve(W.copy(), stepsize=0.1, steps=100, steps_out=10, progress_bar=False, callback=sim3)
+
+    N = W.shape[-1]
+    np.testing.assert_allclose(
+        qf.qtime2seconds(1.0, N=N) * np.arange(11), sim["time"], rtol=1e-12
+    )
+    np.testing.assert_equal(10 * np.arange(11), sim["step"])
+    np.testing.assert_equal(sim3["mat", -1], sim["mat", -1])
+
+
+def test_solve_resume_from_sim(tmpdir):
+    """Passing the QuSimulation itself resumes with stored args."""
+    W = get_random_mat(20)
+    filename = str(tmpdir.join("testsim.hdf5"))
+    sim = QuSimulation(filename, overwrite=True, state=W)
+    sim["stepsize"] = 0.1
+    sim["steps"] = 30
+    sim["steps_out"] = 10
+    solve(sim, progress_bar=False)
+    assert sim["step"][-1] == 30
+    # resume again; steps accumulate
+    solve(sim, progress_bar=False)
+    assert sim["step"][-1] == 60
+    # time is continuous
+    t = sim["time"]
+    np.testing.assert_allclose(np.diff(t), t[1] - t[0])
+
+
+def test_create_runfile(tmpdir):
+    W = get_random_mat(16)
+    filename = str(tmpdir.join("mysim.hdf5"))
+    sim = QuSimulation(filename, overwrite=True, state=W)
+    path = qf.create_runfile(sim)
+    content = open(path).read()
+    assert "mysim" in content and "argparse" in content
+    import ast
+
+    ast.parse(content)  # generated runfile is valid python
