@@ -104,5 +104,7 @@ from .sim import QuSimulation, create_runfile
 from .sim.solve import solve
 from . import models
 from . import parallel
+from . import graphics
+from . import cluster
 
 __version__ = "0.1.0"

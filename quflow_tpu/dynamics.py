@@ -21,7 +21,13 @@ __all__ = ["project_el", "solve", "blob", "north_blob"]
 
 def project_el(W, el=1, complement=False):
     """Project W onto (or off, with ``complement``) the el-eigenspace of the
-    quantized Laplacian, i.e. onto span{T_elm : |m| <= el}."""
+    quantized Laplacian, i.e. onto span{T_elm : |m| <= el}.
+
+    Note: this is the true orthogonal projection (idempotent).  The reference
+    implementation (quflow/dynamics.py:54-80) omits the 1/||column||^2 = 1/N
+    normalization and therefore returns N x the projection; that scaling bug
+    is deliberately not reproduced here.
+    """
     W = np.asarray(W)
     N = W.shape[-1]
     basis = get_basis(N)

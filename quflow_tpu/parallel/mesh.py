@@ -47,12 +47,12 @@ def state_sharding(mesh, batched=False):
     (N, N) over ('i','j')."""
     if batched:
         return NamedSharding(mesh, P("dp", "i", "j"))
-    return NamedSharding(mesh, P(None, "i", "j"))
+    return NamedSharding(mesh, P("i", "j"))
 
 
 def rows_spec(batched=False):
-    """PartitionSpec for the diag-packed (R, N) rows: rows over all tensor
-    axes, scan axis unsharded (the solve is then communication-free)."""
+    """PartitionSpec for the diag-packed rows ((E,) R, N): rows over all
+    tensor axes, scan axis unsharded (the solve is then communication-free)."""
     if batched:
         return P("dp", ("i", "j"), None)
-    return P(None, ("i", "j"), None)
+    return P(("i", "j"), None)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.diagpack import mat2diagh, diagh2mat
+from ..ops.diagpack import mat2diagh, diagh2mat, num_rows, subtract_row0_mean
 from ..ops.tridiag import solve_factored
 from ..ops.laplacian import _factors
 from ..ops.geometry import hbar
@@ -48,25 +48,42 @@ class _Fac:
         self.w, self.binv, self.u = w, binv, u
 
 
-def _poisson_core(W, w, binv, u, mesh=None, batched=False):
+def _mesh_pad_rows(N, mesh):
+    """Pad the packed row count R = N//2+1 (always odd) up to a multiple of
+    the tensor-device count: GSPMD miscompiles gathers whose outputs are
+    sharded unevenly (verified on jax 0.9 CPU mesh), and even shards also
+    tile better."""
+    if mesh is None:
+        return 0
+    td = mesh.shape["i"] * mesh.shape["j"]
+    R = num_rows(N, True)
+    return (-R) % td
+
+
+def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0):
     N = W.shape[-1]
-    d = mat2diagh(W, skewh=True, tracefree=True)
+    d = mat2diagh(W, skewh=True, tracefree=True, pad_rows=pad_rows)
     if mesh is not None:
         d = lax.with_sharding_constraint(d, NamedSharding(mesh, rows_spec(batched)))
     x = solve_factored(_Fac(w, binv, u), d)
-    tr = jnp.sum(x[..., 0, :], axis=-1, keepdims=True) / N
-    x = x.at[..., 0, :].add(-tr)
+    x = subtract_row0_mean(x)
     Pmat = diagh2mat(x, skewh=True)
     if mesh is not None:
-        spec = P("dp", "i", "j") if batched else P(None, "i", "j")
+        spec = P("dp", "i", "j") if batched else P("i", "j")
         Pmat = lax.with_sharding_constraint(Pmat, NamedSharding(mesh, spec))
     return Pmat
 
 
-def _real_factors(N, rdtype):
+def _real_factors(N, rdtype, pad_rows=0):
     fac = _factors(N, True, "poisson", ())
     rd = np.dtype(rdtype)
-    return fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
+    w, binv, u = fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
+    if pad_rows:
+        Npts = w.shape[-1]
+        w = np.vstack([w, np.zeros((pad_rows, Npts), rd)])
+        binv = np.vstack([binv, np.ones((pad_rows, Npts), rd)])
+        u = np.vstack([u, np.zeros((pad_rows, Npts), rd)])
+    return w, binv, u
 
 
 def to_planes(W):
@@ -85,17 +102,18 @@ def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=
     """Jitted batched Poisson solve.  With ``planes_io`` (default, required
     on TPU) takes/returns split-complex planes (2, ..., N, N)."""
     rdtype = np.zeros(1, dtype=dtype).real.dtype
-    w, binv, u = _real_factors(N, rdtype)
+    pad = _mesh_pad_rows(N, mesh)
+    w, binv, u = _real_factors(N, rdtype, pad_rows=pad)
 
     @jax.jit
     def poisson_planes(Wri):
         W = lax.complex(Wri[0], Wri[1])
-        Pm = _poisson_core(W, w, binv, u, mesh=mesh, batched=batched)
+        Pm = _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad)
         return jnp.stack([Pm.real, Pm.imag])
 
     @jax.jit
     def poisson(W):
-        return _poisson_core(W, w, binv, u, mesh=mesh, batched=batched)
+        return _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad)
 
     return poisson_planes if planes_io else poisson
 
@@ -129,7 +147,8 @@ def build_step_fn(
     experiments).
     """
     rdtype = np.zeros(1, dtype=dtype).real.dtype
-    w, binv, u = _real_factors(N, rdtype)
+    pad = _mesh_pad_rows(N, mesh)
+    w, binv, u = _real_factors(N, rdtype, pad_rows=pad)
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(
         highest=lax.Precision.HIGHEST,
@@ -144,7 +163,9 @@ def build_step_fn(
         def it(k, st):
             dW, _PWc = st
             Whalf = W + dW
-            Phalf = _poisson_core(Whalf, w, binv, u, mesh=mesh, batched=batched)
+            Phalf = _poisson_core(
+                Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad
+            )
             Phalf = Phalf * vareps
             PW = mm(Phalf, Whalf)
             PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))

@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh:
+sharded-vs-single-device equivalence, ensemble data parallelism, and the
+production stepper's parity with the reference-semantics integrator."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import quflow_tpu as qf
+from quflow_tpu.parallel import make_mesh, build_step_fn, build_poisson_fn
+from quflow_tpu.parallel.stepper import to_planes, from_planes
+
+
+def rsk(N, seed=0, batch=None):
+    rng = np.random.RandomState(seed)
+    shape = (N, N) if batch is None else (batch, N, N)
+    W = rng.randn(*shape) + 1j * rng.randn(*shape)
+    return W - np.conj(np.swapaxes(W, -1, -2))
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_poisson_equals_single():
+    N = 32
+    mesh = make_mesh(jax.devices(), dp=1)
+    W = rsk(N, seed=1)
+    Wp = to_planes(W)
+    fn_sharded = build_poisson_fn(N, dtype=np.complex128, mesh=mesh, planes_io=True)
+    sh = NamedSharding(mesh, P(None, "i", "j"))
+    Wj = jax.device_put(jnp.asarray(Wp), sh)
+    P_sh = from_planes(np.asarray(fn_sharded(Wj)))
+    P_ref = np.asarray(qf.solve_poisson(W, skewh=True))
+    np.testing.assert_allclose(P_sh, P_ref, atol=1e-12)
+
+
+def test_sharded_step_equals_single():
+    N = 32
+    mesh = make_mesh(jax.devices(), dp=2)
+    E = 2
+    W = rsk(N, seed=2, batch=E)
+    dt = 0.2 * qf.hbar(N)
+    fn_mesh = build_step_fn(
+        N, dt, steps=5, maxit=5, dtype=np.complex128, compsum=False,
+        mesh=mesh, batched=True, planes_io=True,
+    )
+    sh = NamedSharding(mesh, P(None, "dp", "i", "j"))
+    Wj = jax.device_put(jnp.asarray(to_planes(W)), sh)
+    z = jax.device_put(jnp.zeros_like(Wj), sh)
+    out = from_planes(np.asarray(fn_mesh(Wj, z, z)[0]))
+
+    # single-device per-trajectory reference
+    fn1 = build_step_fn(
+        N, dt, steps=5, maxit=5, dtype=np.complex128, compsum=False, planes_io=True
+    )
+    for e in range(E):
+        Wp = jnp.asarray(to_planes(W[e]))
+        ze = jnp.zeros_like(Wp)
+        ref = from_planes(np.asarray(fn1(Wp, ze, ze)[0]))
+        np.testing.assert_allclose(out[e], ref, atol=1e-11)
+
+
+def test_stepper_matches_isomp_fixed_iterations():
+    """Branch-free stepper == isomp with minit=maxit (exact same math)."""
+    d = np.load("tests/data/oracle.npz")
+    W0 = d["isomp_W0"]
+    dt = qf.hbar(16) * float(d["isomp_stepsize"])
+    fn = build_step_fn(
+        16, dt, steps=50, maxit=8, dtype=np.complex128, compsum=False, planes_io=True
+    )
+    Wp = jnp.asarray(to_planes(W0))
+    z = jnp.zeros_like(Wp)
+    out = from_planes(np.asarray(fn(Wp, z, z)[0]))
+    ref = qf.isomp(W0.copy(), dt, 50, tol=1e-18, maxit=8, minit=8)
+    np.testing.assert_allclose(out, ref, atol=1e-13)
+
+
+def test_stepper_compsum_casimir_drift():
+    """Kahan-compensated c64 stepping keeps Casimirs to f32 precision over a
+    long run (the accuracy story for the TPU fast path)."""
+    d = np.load("tests/data/oracle.npz")
+    W0 = d["isomp_W0"].astype(np.complex64)
+    dt = qf.hbar(16) * float(d["isomp_stepsize"])
+    fn = build_step_fn(
+        16, dt, steps=500, maxit=6, dtype=np.complex64, compsum=True, planes_io=True
+    )
+    Wp = jnp.asarray(to_planes(W0))
+    z = jnp.zeros_like(Wp)
+    out = from_planes(np.asarray(fn(Wp, z, z)[0]))
+    e0 = np.sort(np.linalg.eigvalsh(-1j * W0.astype(np.complex128)))
+    e1 = np.sort(np.linalg.eigvalsh(-1j * out.astype(np.complex128)))
+    assert np.abs(e1 - e0).max() < 5e-5  # f32 scale spectral drift
+
+
+def test_dryrun_entrypoints():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    fn, args = ge.entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    assert not bool(jnp.any(jnp.isnan(out[0])))
