@@ -1,0 +1,117 @@
+"""Pallas TPU kernel: batched prefactorized Thomas solve.
+
+This is the Pallas counterpart of ops/tridiag.solve_factored (the W -> P hot
+kernel), playing the role of the reference's cuSPARSE gtsv2StridedBatch path
+(reference quflow/experimental/cuda.py:358-418).
+
+Layout: the packed right-hand side is held *transposed* as (N, R) so that
+the sequential Thomas recurrence runs along the sublane dimension while the
+R independent systems vectorize across lanes (128-wide VPU ops per
+recurrence step).  The grid tiles the R axis; each program solves a
+(N, TR) block entirely in VMEM - forward elimination and back substitution
+fused with zero HBM round-trips, since the factor arrays are resident too.
+
+Two real channels (re, im) are solved per call (the operator is real).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["solve_factored_pallas", "pad_cols"]
+
+
+def pad_cols(R, tile):
+    return (-R) % tile
+
+
+def _thomas_kernel(w_ref, binv_ref, u_ref, d_ref, out_ref):
+    """Refs are (N, TR) blocks: solve in place along the first axis."""
+    N = d_ref.shape[0]
+
+    # forward elimination: y_k = d_k - w_k * y_{k-1}
+    def fwd(k, y_prev):
+        y = d_ref[k, :] - w_ref[k, :] * y_prev
+        d_ref[k, :] = y
+        return y
+
+    y0 = d_ref[0, :]
+    ylast = lax.fori_loop(1, N, fwd, y0)
+
+    # back substitution: x_k = y_k * binv_k - u_k * x_{k+1}
+    xlast = ylast * binv_ref[N - 1, :]
+    out_ref[N - 1, :] = xlast
+
+    def bwd(i, x_next):
+        k = N - 2 - i
+        x = d_ref[k, :] * binv_ref[k, :] - u_ref[k, :] * x_next
+        out_ref[k, :] = x
+        return x
+
+    lax.fori_loop(0, N - 1, bwd, xlast)
+
+
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def _solve_T(wT, binvT, uT, dT, tile=128, interpret=False):
+    """Solve with transposed layout: all arrays (C, N, Rp) with Rp % tile == 0.
+    Returns xT (C, N, Rp)."""
+    C, N, Rp = dT.shape
+    grid = (C, Rp // tile)
+    spec_f = pl.BlockSpec((N, tile), lambda c, r: (0, r), memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec(
+        (1, N, tile), lambda c, r: (c, 0, r), memory_space=pltpu.VMEM
+    )
+
+    def kernel(w_ref, binv_ref, u_ref, d_ref, out_ref):
+        _thomas_kernel(
+            w_ref, binv_ref, u_ref, d_ref.at[0], out_ref.at[0]
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(dT.shape, dT.dtype),
+        grid=grid,
+        in_specs=[spec_f, spec_f, spec_f, spec_d],
+        out_specs=spec_d,
+        interpret=interpret,
+    )(wT, binvT, uT, dT)
+
+
+def solve_factored_pallas(w, binv, u, d_planes, tile=128, interpret=False):
+    """Solve the batched systems for real channel planes.
+
+    Parameters
+    ----------
+    w, binv, u: (R, N) factor arrays (numpy or jax, any float dtype)
+    d_planes:   (C, R, N) right-hand-side channels
+    Returns (C, R, N) solution.
+    """
+    C, R, N = d_planes.shape
+    pad = pad_cols(R, tile)
+    dt = d_planes.dtype
+
+    def prep(f, fill):
+        f = jnp.asarray(f, dtype=dt)
+        if pad:
+            f = jnp.concatenate(
+                [f, jnp.full((pad, N), fill, dtype=dt)], axis=0
+            )
+        return jnp.swapaxes(f, 0, 1)  # (N, Rp)
+
+    wT = prep(w, 0.0)
+    binvT = prep(binv, 1.0)
+    uT = prep(u, 0.0)
+    dT = jnp.swapaxes(
+        jnp.pad(d_planes, ((0, 0), (0, pad), (0, 0))), 1, 2
+    )  # (C, N, Rp)
+    xT = _solve_T(wT, binvT, uT, dT, tile=tile, interpret=interpret)
+    x = jnp.swapaxes(xT, 1, 2)[:, :R, :]
+    return x
