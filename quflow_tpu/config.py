@@ -17,9 +17,15 @@ import os
 
 # Enable x64 before anything traces.  Users can opt out for a pure-f32 fast
 # path (bench exposes both).
-if os.environ.get("QUFLOW_TPU_X64", "1") not in ("0", "false", "False"):
-    import jax
+import jax
 
+# The axon TPU plugin in this environment overrides JAX_PLATFORMS at import
+# time; re-assert the user's choice so `JAX_PLATFORMS=cpu` behaves normally.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat and "axon" not in _plat:
+    jax.config.update("jax_platforms", _plat)
+
+if os.environ.get("QUFLOW_TPU_X64", "1") not in ("0", "false", "False"):
     jax.config.update("jax_enable_x64", True)
     X64 = True
 else:

@@ -34,7 +34,32 @@ from scipy.ndimage import map_coordinates
 from .quantization import mat2shr
 from .transforms import as_fun
 
-__all__ = ["resample", "plot", "plot2", "spy", "Animation", "create_animation"]
+__all__ = [
+    "resample",
+    "plot",
+    "plot2",
+    "spy",
+    "Animation",
+    "create_animation",
+    "adjust_colormap_brightness",
+]
+
+
+def adjust_colormap_brightness(cmap_name, r, N=None):
+    """Return a ListedColormap with brightness scaled by r (>1 brighter,
+    <1 darker); parity with reference graphics.py:31-87."""
+    if not _has_matplotlib:  # pragma: no cover
+        raise ImportError("matplotlib is required")
+    from matplotlib.colors import ListedColormap
+    import matplotlib.cm as cm
+
+    cmap = cm.get_cmap(cmap_name, N) if N else cm.get_cmap(cmap_name)
+    colors = cmap(np.linspace(0, 1, cmap.N))
+    if r >= 1.0:
+        colors[:, :3] = 1.0 - (1.0 - colors[:, :3]) / r
+    else:
+        colors[:, :3] = colors[:, :3] * r
+    return ListedColormap(np.clip(colors, 0, 1))
 
 
 def resample(data, N):

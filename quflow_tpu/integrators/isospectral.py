@@ -30,6 +30,7 @@ __all__ = [
     "commutator",
     "commutator_skewherm",
     "commutator_generic",
+    "select_skewherm",
     "estimate_stepsize",
     "update_stats",
 ]
@@ -45,6 +46,17 @@ def commutator_skewherm(W, P):
 
 
 commutator = commutator_skewherm
+
+
+def select_skewherm(flag):
+    """Reference-compatible mode switch (reference isospectral.py:97-118):
+    sets the default commutator and the laplacian-solver default.  Prefer the
+    explicit ``skewh`` keyword in new code."""
+    global commutator
+    commutator = commutator_skewherm if flag else commutator_generic
+    from ..ops.laplacian import select_skewherm as _lap_select
+
+    return _lap_select(flag)
 
 
 def update_stats(stats: dict, **kwargs):

@@ -33,9 +33,25 @@ def hbar(N):
     return 2.0 / np.sqrt(float(N) ** 2 - 1.0)
 
 
+def _is_dia(A):
+    try:
+        from scipy.sparse import issparse
+
+        return issparse(A) and A.format == "dia"
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def bracket(P, W):
-    """Quantized Poisson bracket (1/hbar) [P, W]."""
+    """Quantized Poisson bracket (1/hbar) [P, W].
+
+    scipy dia_matrix inputs are supported (sparse band-limited basis
+    elements, cf. reference geometry.py:13-49) and return a dia_matrix.
+    """
     N = P.shape[-1]
+    if _is_dia(P) and _is_dia(W):
+        A = (P @ W - W @ P).todia()
+        return A / hbar(N)
     A = P @ W - W @ P
     return A / hbar(N)
 
@@ -44,12 +60,16 @@ def norm_L2(W):
     """Scaled Frobenius norm: ||W||_F / sqrt(N), isometric to the L^2 norm of
     the corresponding vorticity field."""
     N = W.shape[-1]
+    if _is_dia(W):
+        return np.sqrt((W.data * W.data.conj()).sum().real / N)
     return jnp.linalg.norm(W, ord="fro", axis=(-2, -1)) / jnp.sqrt(float(N))
 
 
 def inner_L2(P, W):
     """Scaled real Frobenius inner product tr(P W^H)/N."""
     N = W.shape[-1]
+    if _is_dia(P) and _is_dia(W) and np.array_equal(W.offsets, P.offsets):
+        return (P.data * W.data.conj()).sum().real / N
     return jnp.sum(P * jnp.conj(W), axis=(-2, -1)).real / N
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "solve_helmholtz",
     "solve_viscdamp",
     "solve_globalqg",
+    "select_skewherm",
 ]
 
 
@@ -130,8 +131,62 @@ def _is_skewh(W):
     )
 
 
+# Process-level default for reference-API compatibility (the reference
+# mutates module function pointers via select_skewherm, cpu.py:563-591).
+# None = auto-detect per call.
+_skewh_default = None
+
+
+def select_skewherm(flag):
+    """Reference-compatible mode switch: set the default ``skewh`` used when
+    it is not passed explicitly.  Returns the previous value.  Prefer the
+    explicit keyword in new code (it is jit-static)."""
+    global _skewh_default
+    old = _skewh_default
+    _skewh_default = flag
+    return old if old is not None else True
+
+
 def _resolve_skewh(W, skewh):
-    return _is_skewh(W) if skewh is None else skewh
+    if skewh is not None:
+        return skewh
+    if _skewh_default is not None:
+        return _skewh_default
+    return _is_skewh(W)
+
+
+def _is_dia(A):
+    try:
+        from scipy.sparse import issparse
+
+        return issparse(A) and A.format == "dia"
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _dia_apply(A, fn_el, fn_dense):
+    """Apply an operator to a scipy dia_matrix, preserving its offsets.
+
+    Basis elements carry a ``.el`` tag (quantization.elmr2mat) enabling the
+    eigenvalue fast path Delta T_el = -el(el+1) T_el; otherwise the operator
+    (which acts diagonal-by-diagonal) is applied densely and the same
+    offsets re-extracted.
+    """
+    from scipy.sparse import dia_matrix
+
+    if hasattr(A, "el"):
+        out = fn_el(A)
+        if out is not None:
+            return out
+    N = A.shape[-1]
+    dense = np.asarray(fn_dense(A.toarray()))
+    data = np.zeros((len(A.offsets), N), dtype=dense.dtype)
+    for k, off in enumerate(A.offsets):
+        if off >= 0:
+            data[k, off:] = np.diagonal(dense, off)
+        else:
+            data[k, : N + off] = np.diagonal(dense, off)
+    return dia_matrix((data, A.offsets), shape=A.shape)
 
 
 def _solve_kind(W, kind, params, skewh):
@@ -145,7 +200,23 @@ def _solve_kind(W, kind, params, skewh):
 # ---------------------------------------------------------------------------
 
 def laplace(P, skewh=None):
-    """Apply the quantized Laplacian to a stream matrix."""
+    """Apply the quantized Laplacian to a stream matrix.
+
+    scipy dia_matrix inputs return a dia_matrix with the same offsets; basis
+    elements tagged with ``.el`` use the eigenvalue fast path
+    Delta T_el = -el(el+1) T_el (cf. reference cpu.py:457-556).
+    """
+    if _is_dia(P):
+        def fel(A):
+            el = A.el
+            out = A * (-float(el * (el + 1)))
+            out = out.todia()
+            out.el = el
+            return out
+
+        return _dia_apply(
+            P, fel, lambda D: laplace(np.ascontiguousarray(D), skewh=False)
+        )
     skewh = _resolve_skewh(P, skewh)
     N = P.shape[-1]
     op = jnp.asarray(laplacian(N, bc=False, skewh=skewh))
@@ -160,6 +231,19 @@ def solve_poisson(W, skewh=None, reduce="first"):
     ``reduce='sum'`` solves the sum, ``reduce='none'`` solves each state
     (the TPU-native batched/ensemble path).
     """
+    if _is_dia(W):
+        def fel(A):
+            el = A.el
+            if el == 0:
+                return None
+            out = A * (-1.0 / float(el * (el + 1)))
+            out = out.todia()
+            out.el = el
+            return out
+
+        return _dia_apply(
+            W, fel, lambda D: solve_poisson(np.ascontiguousarray(D), skewh=False)
+        )
     skewh = _resolve_skewh(W, skewh)
     if W.ndim > 2 and reduce != "none":
         if reduce == "first":
