@@ -154,10 +154,22 @@ def build_step_fn(
         highest=lax.Precision.HIGHEST,
         high=lax.Precision.HIGH,
         default=lax.Precision.DEFAULT,
-    )[precision]
+    )[precision.replace("_karatsuba", "")]
+    karatsuba = precision.endswith("_karatsuba")
 
-    def mm(a, b):
-        return jnp.matmul(a, b, precision=prec)
+    if karatsuba:
+        # complex matmul as 3 real matmuls (Karatsuba): 25% fewer MXU passes
+        # than the 4-matmul lowering at multi-pass precisions.
+        def mm(a, b):
+            ar, ai = a.real, a.imag
+            br, bi = b.real, b.imag
+            t1 = jnp.matmul(ar, br, precision=prec)
+            t2 = jnp.matmul(ai, bi, precision=prec)
+            t3 = jnp.matmul(ar + ai, br + bi, precision=prec)
+            return lax.complex(t1 - t2, t3 - t1 - t2)
+    else:
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=prec)
 
     def fixed_point(W, dW):
         def it(k, st):
