@@ -125,3 +125,78 @@ def _diag_embed(dg):
     out = jnp.zeros(dg.shape + (N,), dtype=dg.dtype)
     idx = jnp.arange(N)
     return out.at[..., idx, idx].set(dg)
+
+
+# ---------------------------------------------------------------------------
+# Barrel-shift (roll/select) pack - the TPU fast path.
+#
+# XLA scatter on TPU serializes (~60 ms for an N=1024 c64 unpack, measured),
+# so the hot loop uses a log2(N)-stage barrel shifter instead: the wrapped
+# layout V[m, i] = W[(m+i) % N, i] is "roll column i upward by i", realized
+# as nbits stages of (roll by 2^b along the row axis) + (select on columns
+# whose bit b is set) - pure VPU traffic, no gathers or scatters anywhere.
+# The skewh (R, N) packing then differs from the wrapped layout only by an
+# elementwise conjugate-flip mask on the second blocks.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _barrel_masks(N):
+    nbits = max(1, (N - 1).bit_length())
+    col = np.arange(N)
+    return [
+        ((col >> b) & 1).astype(bool)[None, :] for b in range(nbits)
+    ]
+
+
+def _barrel(X, sign):
+    """Roll column i of X (..., N, N) by -sign*i along the row axis."""
+    N = X.shape[-1]
+    for b, mask in enumerate(_barrel_masks(N)):
+        sh = -sign * (1 << b)
+        X = jnp.where(mask, jnp.roll(X, sh, axis=-2), X)
+    return X
+
+
+@lru_cache(maxsize=64)
+def _skewh_masks(N, pad_rows=0):
+    R = N // 2 + 1
+    m = np.arange(R + pad_rows)[:, None]
+    i = np.arange(N)[None, :]
+    in_first = i < N - m  # first block (lower diagonal m)
+    # per-row lane-roll masks for the unpack's second half: row m' rolled by m'
+    nbits = max(1, (N - 1).bit_length())
+    rowm = np.arange(R)[:, None]
+    roll_masks = [((rowm >> b) & 1).astype(bool) for b in range(nbits)]
+    in_upper = i >= m  # after rolling row m' by m', positions i >= m' held upper diag
+    return in_first, roll_masks, in_upper
+
+
+def mat2diagh_rolls(W, tracefree=True, pad_rows=0):
+    """Scatter-free skewh pack of (..., N, N) -> (..., R + pad_rows, N)."""
+    N = W.shape[-1]
+    R = N // 2 + 1
+    in_first, _, _ = _skewh_masks(N, pad_rows)
+    V = _barrel(W, +1)[..., : R + pad_rows, :]
+    d = jnp.where(in_first, V, -jnp.conj(V))
+    if tracefree:
+        d = subtract_row0_mean(d)
+    return d
+
+
+def diagh2mat_rolls(d):
+    """Scatter-free skewh unpack of (..., R [+ pad], N) -> (..., N, N)."""
+    N = d.shape[-1]
+    R = N // 2 + 1
+    in_first, roll_masks, in_upper = _skewh_masks(N, 0)
+    x = d[..., :R, :]
+    # rows 0..R-1 of the wrapped layout
+    top = jnp.where(in_first, x, -jnp.conj(x))
+    # rows R..N-1: V'[N - m'] = roll(x[m'], m') with -conj where i >= m'
+    z = x
+    for b, rmask in enumerate(roll_masks):
+        z = jnp.where(rmask, jnp.roll(z, 1 << b, axis=-1), z)
+    z = jnp.where(in_upper, -jnp.conj(z), z)
+    # m' = 1 .. N-R-1  ->  row N-m' = N-1 .. R+1... flip ordering
+    bottom = jnp.flip(z[..., 1 : N - R + 1, :], axis=-2)
+    V = jnp.concatenate([top, bottom], axis=-2)
+    return _barrel(V, -1)

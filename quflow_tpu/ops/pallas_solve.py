@@ -34,8 +34,13 @@ def pad_cols(R, tile):
 
 
 def _thomas_kernel(w_ref, binv_ref, u_ref, d_ref, out_ref):
-    """Refs are (N, TR) blocks: solve in place along the first axis."""
+    """Refs are (N, TR) blocks: solve in place along the first axis.
+
+    Loop bounds are explicit int32: under global x64 the default i64 indices
+    fail Mosaic verification (tpu.memref_slice wants i32).
+    """
     N = d_ref.shape[0]
+    i32 = jnp.int32
 
     # forward elimination: y_k = d_k - w_k * y_{k-1}
     def fwd(k, y_prev):
@@ -44,19 +49,19 @@ def _thomas_kernel(w_ref, binv_ref, u_ref, d_ref, out_ref):
         return y
 
     y0 = d_ref[0, :]
-    ylast = lax.fori_loop(1, N, fwd, y0)
+    ylast = lax.fori_loop(i32(1), i32(N), fwd, y0)
 
     # back substitution: x_k = y_k * binv_k - u_k * x_{k+1}
     xlast = ylast * binv_ref[N - 1, :]
     out_ref[N - 1, :] = xlast
 
     def bwd(i, x_next):
-        k = N - 2 - i
+        k = i32(N - 2) - i
         x = d_ref[k, :] * binv_ref[k, :] - u_ref[k, :] * x_next
         out_ref[k, :] = x
         return x
 
-    lax.fori_loop(0, N - 1, bwd, xlast)
+    lax.fori_loop(i32(0), i32(N - 1), bwd, xlast)
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
