@@ -71,17 +71,15 @@ def _solve_T(wT, binvT, uT, dT, tile=128, interpret=False):
     C, N, Rp = dT.shape
     grid = (C, Rp // tile)
     spec_f = pl.BlockSpec((N, tile), lambda c, r: (0, r), memory_space=pltpu.VMEM)
+    # None squeezes the channel dim: refs arrive as (N, tile) with no leading
+    # block index (a manual ref.at[0] squeeze emits an i64 memref_slice under
+    # global x64, which Mosaic rejects).
     spec_d = pl.BlockSpec(
-        (1, N, tile), lambda c, r: (c, 0, r), memory_space=pltpu.VMEM
+        (None, N, tile), lambda c, r: (c, 0, r), memory_space=pltpu.VMEM
     )
 
-    def kernel(w_ref, binv_ref, u_ref, d_ref, out_ref):
-        _thomas_kernel(
-            w_ref, binv_ref, u_ref, d_ref.at[0], out_ref.at[0]
-        )
-
     return pl.pallas_call(
-        kernel,
+        _thomas_kernel,
         out_shape=jax.ShapeDtypeStruct(dT.shape, dT.dtype),
         grid=grid,
         in_specs=[spec_f, spec_f, spec_f, spec_d],
