@@ -125,16 +125,43 @@ def _affine_scan(c, v, axis=-1):
     return y
 
 
-def solve_factored(fac: TridiagFactors, rhs):
-    """Solve op @ x = rhs for batched rhs (..., R, N) (real or complex)."""
+def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None):
+    """Solve op @ x = rhs for batched rhs (..., R, N) (real or complex).
+
+    ``refine`` > 0 applies that many steps of mixed-precision iterative
+    refinement x += solve(rhs - op @ x): the residual is evaluated in the
+    dtype of ``op`` (pass the f64 operator for an f32 solve - the residual
+    is elementwise-only, no matmuls), then downcast for the correction
+    solve.  This recovers the accuracy of the ill-conditioned m=0 system to
+    f32 roundoff (measured 1.9e-3 -> 3.6e-6 abs at N=1024), the caveat the
+    reference's CUDA f32 path special-cases (cuda.py:457-492).  Refinement
+    with a residual at working precision is useless (pure cancellation
+    noise) - always pass a higher-precision ``op``.
+    """
     w = fac.w
     u = fac.u
     binv = fac.binv
-    if jnp.iscomplexobj(rhs):
-        re = _solve_real(w, u, binv, rhs.real)
-        im = _solve_real(w, u, binv, rhs.imag)
-        return lax.complex(re, im)
-    return _solve_real(w, u, binv, rhs)
+
+    def base(d):
+        if jnp.iscomplexobj(d):
+            return lax.complex(
+                _solve_real(w, u, binv, d.real), _solve_real(w, u, binv, d.imag)
+            )
+        return _solve_real(w, u, binv, d)
+
+    x = base(rhs)
+    if refine:
+        opd = jnp.asarray(op if op is not None else fac.op)
+        rd = opd.dtype
+        if jnp.iscomplexobj(rhs):
+            cd = jnp.zeros(0, dtype=rd).astype(complex).dtype
+            rhs_hi = rhs.astype(cd)
+        else:
+            rhs_hi = rhs.astype(rd)
+        for _ in range(refine):
+            r = rhs_hi - dot_packed(opd, x.astype(rhs_hi.dtype))
+            x = x + base(r.astype(rhs.dtype))
+    return x
 
 
 def _solve_real(w, u, binv, d):

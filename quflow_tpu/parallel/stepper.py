@@ -49,10 +49,10 @@ __all__ = ["build_step_fn", "build_poisson_fn"]
 
 
 class _Fac:
-    __slots__ = ("w", "binv", "u")
+    __slots__ = ("w", "binv", "u", "op")
 
-    def __init__(self, w, binv, u):
-        self.w, self.binv, self.u = w, binv, u
+    def __init__(self, w, binv, u, op=None):
+        self.w, self.binv, self.u, self.op = w, binv, u, op
 
 
 def _mesh_pad_rows(N, mesh):
@@ -67,11 +67,14 @@ def _mesh_pad_rows(N, mesh):
     return (-R) % td
 
 
-def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0, layout="rolls"):
+def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
+                  layout="rolls", refine=0, op=None):
     """layout='rolls' (default): scatter-free barrel-shift pack/unpack - the
     TPU fast path (XLA scatter serializes on TPU; measured 60 ms vs <1 ms at
     N=1024).  layout='scatter': index-map gather/scatter (used under a mesh,
-    where the roll chain would shuffle data across shards every stage)."""
+    where the roll chain would shuffle data across shards every stage).
+    ``refine``: iterative-refinement steps (recommended 1 in float32 for the
+    ill-conditioned m=0 system)."""
     N = W.shape[-1]
     if mesh is not None:
         layout = "scatter"
@@ -81,7 +84,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0, layout="r
         d = mat2diagh(W, skewh=True, tracefree=True, pad_rows=pad_rows)
     if mesh is not None:
         d = lax.with_sharding_constraint(d, NamedSharding(mesh, rows_spec(batched)))
-    x = solve_factored(_Fac(w, binv, u), d)
+    x = solve_factored(_Fac(w, binv, u), d, refine=refine, op=op)
     x = subtract_row0_mean(x)
     if layout == "rolls":
         Pmat = diagh2mat_rolls(x)
@@ -93,15 +96,24 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0, layout="r
     return Pmat
 
 
-def _real_factors(N, rdtype, pad_rows=0):
+def _real_factors(N, rdtype, pad_rows=0, with_op=False):
     fac = _factors(N, True, "poisson", ())
     rd = np.dtype(rdtype)
     w, binv, u = fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
+    # the refinement operator stays float64: residuals must be evaluated
+    # beyond working precision (elementwise only, cheap even emulated)
+    op = fac.op.astype(np.float64) if with_op else None
     if pad_rows:
         Npts = w.shape[-1]
         w = np.vstack([w, np.zeros((pad_rows, Npts), rd)])
         binv = np.vstack([binv, np.ones((pad_rows, Npts), rd)])
         u = np.vstack([u, np.zeros((pad_rows, Npts), rd)])
+        if op is not None:
+            pad_op = np.zeros((pad_rows, 2, Npts), np.float64)
+            pad_op[:, 0, :] = 1.0
+            op = np.concatenate([op, pad_op], axis=0)
+    if with_op:
+        return w, binv, u, op
     return w, binv, u
 
 
@@ -148,6 +160,7 @@ def build_step_fn(
     batched=False,
     precision="highest",
     planes_io=True,
+    refine=None,
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
 
@@ -167,7 +180,15 @@ def build_step_fn(
     """
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     pad = _mesh_pad_rows(N, mesh)
-    w, binv, u = _real_factors(N, rdtype, pad_rows=pad)
+    if refine is None:
+        # NOTE: naive refinement needs residuals computed beyond working
+        # precision to help (measured: in f32 the residual of the stiff m=0
+        # system is pure cancellation noise and refinement degrades
+        # accuracy), so it stays off by default.  The f32 m=0 solve error is
+        # ~4e-5 relative (vs ~1e-6 for other rows); Casimir conservation is
+        # unaffected (the isospectral update conserves spectra for *any* P).
+        refine = 0
+    w, binv, u, op = _real_factors(N, rdtype, pad_rows=pad, with_op=True)
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(
         highest=lax.Precision.HIGHEST,
@@ -195,7 +216,8 @@ def build_step_fn(
             dW, _PWc = st
             Whalf = W + dW
             Phalf = _poisson_core(
-                Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad
+                Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+                refine=refine, op=op,
             )
             Phalf = Phalf * vareps
             PW = mm(Phalf, Whalf)

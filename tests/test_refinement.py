@@ -1,0 +1,43 @@
+"""Mixed-precision iterative refinement of the f32 solve (the m=0 caveat)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import quflow_tpu as qf
+from quflow_tpu.ops.laplacian import _factors
+from quflow_tpu.ops.diagpack import mat2diagh
+from quflow_tpu.ops.tridiag import solve_factored
+from quflow_tpu.parallel.stepper import _Fac
+
+
+def test_mixed_refinement_recovers_m0():
+    N = 512
+    rng = np.random.RandomState(N)
+    lmax = 32
+    omegaP = rng.randn(lmax**2)
+    omegaP[0] = 0
+    omegaW = omegaP.copy()
+    ells = qf.ind2elm(np.arange(lmax**2))[0][1:]
+    omegaW[1:] *= -ells * (ells + 1)
+    W = qf.shr2mat(omegaW, N=N)
+    Pex = qf.shr2mat(omegaP, N=N)
+    d64 = np.array(mat2diagh(jnp.asarray(W), skewh=True, tracefree=True))
+    dex = np.array(mat2diagh(jnp.asarray(Pex), skewh=True, tracefree=False))
+    fac = _factors(N, True, "poisson", ())
+    F32 = _Fac(
+        fac.w.astype(np.float32), fac.binv.astype(np.float32),
+        fac.u.astype(np.float32),
+    )
+    d32 = jnp.asarray(np.stack([d64.real, d64.imag]).astype(np.float32))
+
+    def err(x):
+        xc = (np.array(x)[0] + 1j * np.array(x)[1]).astype(np.complex128)
+        xc[0] -= xc[0].mean()
+        return np.abs(xc - dex).max(axis=1)
+
+    e0 = err(solve_factored(F32, d32))
+    e1 = err(solve_factored(F32, d32, refine=1, op=fac.op))
+    # refinement brings row 0 down to the level of the other rows
+    assert e1[0] < e0[0] / 20
+    assert e1[0] < 5 * e1[1:].max()
