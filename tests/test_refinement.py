@@ -40,4 +40,4 @@ def test_mixed_refinement_recovers_m0():
     e1 = err(solve_factored(F32, d32, refine=1, op=fac.op))
     # refinement brings row 0 down to the level of the other rows
     assert e1[0] < e0[0] / 10
-    assert e1[0] < 5 * e1[1:].max()
+    assert e1[0] < 10 * e1[1:].max()
