@@ -73,7 +73,10 @@ def main():
     out["isomp_Wfinal"] = W
 
     # --- solve_poisson / heat / viscdamp on a nontrivial state ---------------
-    out["poisson_P"] = rqf.solve_poisson(W0)
+    # NOTE: the reference's cpu solve_poisson returns its *internal cached
+    # buffer* (cpu.py _cpu_buffer_cache), which later same-N solves silently
+    # overwrite - copy immediately (quflow_tpu returns fresh arrays).
+    out["poisson_P"] = np.array(rqf.solve_poisson(W0))
     W9 = rqf.shr2mat(d["smooth_omegar"], N=9)
     out["smooth_W9"] = W9
     out["heat_W9"] = rqf.laplacian.solve_heat(1e-3, W9.copy())
@@ -93,6 +96,24 @@ def main():
     out["omegac10"] = omc
     out["shc2mat_W10"] = rqf.shc2mat(omc, N=10)
     out["shr2shc_17"] = rqf.shr2shc(omega17)
+
+    # --- explicit integrators + curvature ------------------------------------
+    W16 = rqf.shr2mat(omega17[: 12**2], N=16)
+    dt16 = 0.05 * rqf.hbar(16)
+    out["erk_W0"] = W16
+    out["erk_dt"] = dt16
+    out["euler_50"] = rqf.integrators.euler(W16.copy(), dt16, steps=50)
+    out["heun_50"] = rqf.integrators.heun(W16.copy(), dt16, steps=50)
+    out["rk4_50"] = rqf.integrators.rk4(W16.copy(), dt16, steps=50)
+    out["isomp_simple_50"] = rqf.integrators.isomp_simple(W16.copy(), dt16, steps=50)
+
+    from quflow import physics as rphys
+
+    F = np.array(rqf.solve_poisson(W16))  # copy: aliased internal buffer
+    G = np.array(rqf.solve_poisson(rqf.shr2mat(np.random.RandomState(9).randn(12**2), N=16)))
+    out["curv_F"] = F
+    out["curv_G"] = G
+    out["curv_K"] = np.float64(rphys.sectional_curvature(F, G))
 
     # --- global quasi-geostrophic solve --------------------------------------
     from quflow.laplacian import cpu as rcpu
