@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ops.laplacian import solve_poisson, solve_heat
+from .ops.laplacian import solve_heat
 from .ops.geometry import rotate
 from .integrators import isomp
 from .utils import seconds2qtime

@@ -9,12 +9,9 @@ the TPU-native equivalent of reference simulation defaults
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..ops.laplacian import solve_poisson
 from ..ops.geometry import hbar

@@ -7,8 +7,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
-import numpy as np
-
 from ..ops.laplacian import solve_globalqg
 from ..integrators.isospectral import isomp_fixedpoint
 from .euler import EulerFlow

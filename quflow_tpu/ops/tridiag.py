@@ -28,10 +28,7 @@ that SURVEY.md section 7.3 ranks as the top hard part.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

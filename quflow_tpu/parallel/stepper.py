@@ -24,8 +24,6 @@ path, which also solves Re/Im planes separately (cuda.py:364-418).
 
 from __future__ import annotations
 
-from functools import partial, lru_cache
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -14,10 +14,7 @@ from __future__ import annotations
 import inspect
 import warnings
 
-import numpy as np
-
 from ..ops.geometry import hbar
-from ..ops.laplacian import solve_poisson
 from ..integrators import isomp
 from .simulation import QuSimulation
 
