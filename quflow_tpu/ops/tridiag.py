@@ -150,14 +150,22 @@ def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None):
     if refine:
         opd = jnp.asarray(op if op is not None else fac.op)
         rd = opd.dtype
+        ld = rhs.real.dtype
         if jnp.iscomplexobj(rhs):
-            cd = jnp.zeros(0, dtype=rd).astype(complex).dtype
-            rhs_hi = rhs.astype(cd)
+            # refine re/im channels separately in real f64: complex f64 does
+            # not exist on TPU (c64->c128 converts crash the compiler)
+            rhs_re = rhs.real.astype(rd)
+            rhs_im = rhs.imag.astype(rd)
+            for _ in range(refine):
+                rr = (rhs_re - dot_packed(opd, x.real.astype(rd))).astype(ld)
+                ri = (rhs_im - dot_packed(opd, x.imag.astype(rd))).astype(ld)
+                x = x + lax.complex(_solve_real(w, u, binv, rr),
+                                    _solve_real(w, u, binv, ri))
         else:
             rhs_hi = rhs.astype(rd)
-        for _ in range(refine):
-            r = rhs_hi - dot_packed(opd, x.astype(rhs_hi.dtype))
-            x = x + base(r.astype(rhs.dtype))
+            for _ in range(refine):
+                r = rhs_hi - dot_packed(opd, x.astype(rd))
+                x = x + base(r.astype(ld))
     return x
 
 

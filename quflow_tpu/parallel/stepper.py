@@ -43,7 +43,7 @@ from ..ops.laplacian import _factors
 from ..ops.geometry import hbar
 from .mesh import rows_spec
 
-__all__ = ["build_step_fn", "build_poisson_fn"]
+__all__ = ["build_step_fn", "build_poisson_fn", "IsompTPU"]
 
 
 class _Fac:
@@ -256,3 +256,58 @@ def build_step_fn(
         )
 
     return run_planes if planes_io else run
+
+
+class IsompTPU:
+    """Drop-in ``integrator`` for sim.solve backed by the branch-free TPU
+    stepper - the TPU-native counterpart of the reference's GPU-resident
+    ``IsompCUDA`` (reference experimental/isospectral_cuda.py:50-358).
+
+    Keeps dW (warm-started fixed point) and the Kahan compensation state
+    resident between calls, converts the host complex state to split f32
+    planes at the boundary, and caches one compiled program per (dt, steps).
+
+        integrator = IsompTPU(maxit=5, precision="highest")
+        qf.solve(W0, dt=dt, steps=..., integrator=integrator, callback=sim)
+    """
+
+    def __init__(self, maxit=5, precision="highest", compsum=True, refine=0,
+                 dtype=np.complex64, mesh=None, batched=False):
+        self.maxit = maxit
+        self.precision = precision
+        self.compsum = compsum
+        self.refine = refine
+        self.dtype = np.dtype(dtype)
+        self.mesh = mesh
+        self.batched = batched
+        self._fns = {}
+        self._state = None  # (dW, csum) device planes
+        self.stats = {}
+
+    def _fn(self, N, dt, steps):
+        key = (N, float(dt), int(steps))
+        if key not in self._fns:
+            self._fns[key] = build_step_fn(
+                N, dt, steps=steps, maxit=self.maxit, dtype=self.dtype,
+                compsum=self.compsum, mesh=self.mesh, batched=self.batched,
+                precision=self.precision, planes_io=True, refine=self.refine,
+            )
+        return self._fns[key]
+
+    def __call__(self, W, dt, steps=100, stats=None, **kwargs):
+        W_in = np.asarray(W)
+        rd = np.float32 if self.dtype == np.complex64 else np.float64
+        Wp = jnp.asarray(to_planes(W_in).astype(rd))
+        if self._state is None or self._state[0].shape != Wp.shape:
+            z = jnp.zeros_like(Wp)
+            self._state = (z, z)
+        dW, csum = self._state
+        Wp, dW, csum = self._fn(W_in.shape[-1], dt, steps)(Wp, dW, csum)
+        self._state = (dW, csum)
+        out = from_planes(np.asarray(Wp)).astype(W_in.dtype)
+        if stats is not None:
+            stats["iterations"] = float(self.maxit)
+        if isinstance(W, np.ndarray) and W.flags.writeable:
+            np.copyto(W, out)
+            return W
+        return out

@@ -43,16 +43,25 @@ if args.simulate:
     tol = args.tol if args.tol == "auto" else float(args.tol)
     import jax
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
-    with open("{progress_filename}", "w") as progress_file:
-        solve(
-            sim,
-            tol=tol,
-            compsum=args.compsum,
-            maxit=args.maxit,
-            progress_bar=True,
-            progress_file=progress_file,
-            **kwargs,
-        )
+    if on_tpu:
+        # accelerator path: branch-free device-resident stepper (the
+        # counterpart of the reference runfile auto-selecting IsompCUDA)
+        from quflow_tpu.parallel.stepper import IsompTPU
+
+        kwargs["integrator"] = IsompTPU(maxit=args.maxit, compsum=args.compsum)
+        with open("{progress_filename}", "w") as progress_file:
+            solve(sim, progress_bar=True, progress_file=progress_file, **kwargs)
+    else:
+        with open("{progress_filename}", "w") as progress_file:
+            solve(
+                sim,
+                tol=tol,
+                compsum=args.compsum,
+                maxit=args.maxit,
+                progress_bar=True,
+                progress_file=progress_file,
+                **kwargs,
+            )
 
 if args.animate:
     try:

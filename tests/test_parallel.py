@@ -103,3 +103,25 @@ def test_dryrun_entrypoints():
     out = fn(*args)
     jax.block_until_ready(out)
     assert not bool(jnp.any(jnp.isnan(out[0])))
+
+
+def test_isomp_tpu_adapter():
+    """IsompTPU drop-in integrator: bit-parity with isomp at fixed
+    iterations, warm state carried across calls."""
+    from quflow_tpu.parallel.stepper import IsompTPU
+
+    d = np.load("tests/data/oracle.npz")
+    W0 = d["isomp_W0"]
+    dt = qf.hbar(16) * float(d["isomp_stepsize"])
+    integ = IsompTPU(maxit=8, dtype=np.complex128)
+    W = integ(W0.copy(), dt, steps=25)
+    W = integ(W, dt, steps=25)
+    # two chunks with carried dW == one 50-step call of the raw stepper
+    fn = build_step_fn(
+        16, dt, steps=50, maxit=8, dtype=np.complex128, compsum=True,
+        planes_io=True,
+    )
+    Wp = jnp.asarray(to_planes(W0))
+    z = jnp.zeros_like(Wp)
+    ref = from_planes(np.asarray(fn(Wp, z, z)[0]))
+    np.testing.assert_allclose(W, ref, atol=1e-13)
