@@ -133,6 +133,17 @@ def seconds2qtime(t, N):
     return t * np.sqrt(N**2 - 1) / 2.0
 
 
+def run_cluster(filename, time, inner_time, step_size):
+    """Legacy helper (reference utils.py:242-281): generate run/submit files
+    for a simulation.  Delegates to the modern launcher."""
+    from .. import cluster
+
+    return cluster.solve(
+        filename, backend="local", simtime=time, dt_out=inner_time,
+        stepsize=step_size,
+    )
+
+
 def poisson_finite_differences(omegafun, psifun, grid="gl"):
     """Finite-difference Poisson bracket on the (N, 2N-1) grid.
 

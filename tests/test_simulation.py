@@ -195,3 +195,25 @@ def test_create_runfile(tmpdir):
     import ast
 
     ast.parse(content)  # generated runfile is valid python
+
+
+def test_qutypes_funhalf(tmpdir):
+    """funhalf / funL2half truncate coefficients to (N/2)^2 before synthesis."""
+    W = get_random_mat(16, seed=5)
+    filename = str(tmpdir.join("half.hdf5"))
+    sim = QuSimulation(
+        filename, overwrite=True,
+        qutypes={"funhalf": np.float32, "funL2half": np.float64}, state=W,
+    )
+    sim(W=get_random_mat(16, seed=6), delta_time=0.1)
+    fun = sim["fun", -1]
+    funL2 = sim["funL2", -1]
+    assert fun.dtype == np.float32 and funL2.dtype == np.float64
+    # half-resolution synthesis (N/2 = 8 -> grid (8, 15))
+    assert fun.shape == (8, 15) and funL2.shape == (8, 15)
+
+
+def test_experimental_alias():
+    from quflow_tpu import experimental
+
+    assert experimental.IsompCUDA is experimental.IsompTPU
