@@ -107,7 +107,32 @@ def measure_tpu():
 
 
 def main():
-    tpu_sec = measure_tpu()
+    # Watchdog: the TPU tunnel in this environment can wedge indefinitely
+    # after failures; never hang the driver.
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("TPU benchmark timed out (device tunnel wedged)")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(int(os.environ.get("QUFLOW_BENCH_TIMEOUT", "480")))
+    try:
+        tpu_sec = measure_tpu()
+    except Exception as exc:
+        print(
+            json.dumps(
+                {
+                    "metric": f"isomp_steps_per_sec_N{N}",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(exc).__name__}: {exc}"[:160],
+                }
+            )
+        )
+        return
+    finally:
+        signal.alarm(0)
 
     os.environ.setdefault("QUFLOW_BENCH_SKIP_BASELINE", "0")
     vs_baseline = None

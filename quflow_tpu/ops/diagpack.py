@@ -171,6 +171,24 @@ def _skewh_masks(N, pad_rows=0):
     return in_first, roll_masks, in_upper
 
 
+def mat2wrapped(W, tracefree=True):
+    """Pure-barrel wrapped pack: (..., N, N) -> all N wrapped diagonal rows
+    V[m, i] = W[(m+i) % N, i].  No masks, slices, or conjugations - for
+    skew-Hermitian solves, use the wrapped (nrows=N) operator whose row m
+    acts on [lower diag m | upper diag N-m] (same tridiagonal coefficients),
+    so the solution comes back in wrapped layout and unpacks with the
+    inverse barrel alone."""
+    V = _barrel(W, +1)
+    if tracefree:
+        V = subtract_row0_mean(V)
+    return V
+
+
+def wrapped2mat(V):
+    """Inverse of mat2wrapped."""
+    return _barrel(V, -1)
+
+
 def mat2diagh_rolls(W, tracefree=True, pad_rows=0):
     """Scatter-free skewh pack of (..., N, N) -> (..., R + pad_rows, N)."""
     N = W.shape[-1]

@@ -35,6 +35,8 @@ from ..ops.diagpack import (
     diagh2mat,
     mat2diagh_rolls,
     diagh2mat_rolls,
+    mat2wrapped,
+    wrapped2mat,
     num_rows,
     subtract_row0_mean,
 )
@@ -76,7 +78,9 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     N = W.shape[-1]
     if mesh is not None:
         layout = "scatter"
-    if layout == "rolls":
+    if layout == "wrapped":
+        d = mat2wrapped(W, tracefree=True)
+    elif layout == "rolls":
         d = mat2diagh_rolls(W, tracefree=True, pad_rows=pad_rows)
     else:
         d = mat2diagh(W, skewh=True, tracefree=True, pad_rows=pad_rows)
@@ -84,7 +88,9 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         d = lax.with_sharding_constraint(d, NamedSharding(mesh, rows_spec(batched)))
     x = solve_factored(_Fac(w, binv, u), d, refine=refine, op=op)
     x = subtract_row0_mean(x)
-    if layout == "rolls":
+    if layout == "wrapped":
+        Pmat = wrapped2mat(x)
+    elif layout == "rolls":
         Pmat = diagh2mat_rolls(x)
     else:
         Pmat = diagh2mat(x, skewh=True)
@@ -94,8 +100,8 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     return Pmat
 
 
-def _real_factors(N, rdtype, pad_rows=0, with_op=False):
-    fac = _factors(N, True, "poisson", ())
+def _real_factors(N, rdtype, pad_rows=0, with_op=False, wrapped=False):
+    fac = _factors(N, not wrapped, "poisson", ())
     rd = np.dtype(rdtype)
     w, binv, u = fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
     # the refinement operator stays float64: residuals must be evaluated
@@ -127,22 +133,27 @@ def from_planes(Wri):
     return Wri[0] + 1j * Wri[1]
 
 
-def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=True):
+def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=True,
+                     layout="wrapped"):
     """Jitted batched Poisson solve.  With ``planes_io`` (default, required
     on TPU) takes/returns split-complex planes (2, ..., N, N)."""
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     pad = _mesh_pad_rows(N, mesh)
-    w, binv, u = _real_factors(N, rdtype, pad_rows=pad)
+    if mesh is not None:
+        layout = "scatter"
+    w, binv, u = _real_factors(N, rdtype, pad_rows=pad, wrapped=(layout == "wrapped"))
 
     @jax.jit
     def poisson_planes(Wri):
         W = lax.complex(Wri[0], Wri[1])
-        Pm = _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad)
+        Pm = _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+                           layout=layout)
         return jnp.stack([Pm.real, Pm.imag])
 
     @jax.jit
     def poisson(W):
-        return _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad)
+        return _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+                             layout=layout)
 
     return poisson_planes if planes_io else poisson
 
@@ -159,6 +170,7 @@ def build_step_fn(
     precision="highest",
     planes_io=True,
     refine=None,
+    layout="wrapped",
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
 
@@ -186,7 +198,11 @@ def build_step_fn(
         # ~4e-5 relative (vs ~1e-6 for other rows); Casimir conservation is
         # unaffected (the isospectral update conserves spectra for *any* P).
         refine = 0
-    w, binv, u, op = _real_factors(N, rdtype, pad_rows=pad, with_op=True)
+    if mesh is not None:
+        layout = "scatter"
+    w, binv, u, op = _real_factors(
+        N, rdtype, pad_rows=pad, with_op=True, wrapped=(layout == "wrapped")
+    )
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(
         highest=lax.Precision.HIGHEST,
@@ -215,7 +231,7 @@ def build_step_fn(
             Whalf = W + dW
             Phalf = _poisson_core(
                 Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
-                refine=refine, op=op,
+                refine=refine, op=op, layout=layout,
             )
             Phalf = Phalf * vareps
             PW = mm(Phalf, Whalf)
