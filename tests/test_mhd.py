@@ -50,3 +50,20 @@ def test_mhd_model():
     out = flow.step(st.copy(), 0.1 * flow.hbar, steps=3)
     assert out.shape == st.shape
     assert np.abs(out - st).max() > 0
+
+
+def test_mhd_production_stepper(oracle):
+    """Branch-free planes MHD stepper == magmp at fixed iteration count."""
+    import jax.numpy as jnp
+    from quflow_tpu.parallel.stepper import (
+        build_mhd_step_fn, to_planes, from_planes,
+    )
+
+    st0 = oracle["mhd_state0"]
+    dtm = float(oracle["mhd_dt"])
+    ref = magmp(st0.copy(), dtm, steps=20, tol=1e-18, maxit=8, minit=8)
+    fn = build_mhd_step_fn(12, dtm, steps=20, maxit=8, dtype=np.complex128)
+    Sp = jnp.asarray(to_planes(st0))
+    z = jnp.zeros_like(Sp)
+    out, _ = fn(Sp, z)
+    np.testing.assert_allclose(from_planes(np.asarray(out)), ref, atol=1e-12)
