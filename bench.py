@@ -47,7 +47,7 @@ def measure_tpu():
     # TPU runtime and the tunnel adds ~25 ms latency per sync, so timing
     # must amortize many steps behind a single scalar pull.
     rdtype = np.float32
-    w, binv, u = _real_factors(N, rdtype)
+    w, binv, u = _real_factors(N, rdtype, wrapped=True)
     vareps = np.float32(dt / (2.0 * hbar(N)))
     prec = dict(
         highest=lax.Precision.HIGHEST,
@@ -65,7 +65,7 @@ def measure_tpu():
             def it(k, st):
                 dW, _ = st
                 Wh = Wc + dW
-                Ph = _poisson_core(Wh, w, binv, u) * vareps
+                Ph = _poisson_core(Wh, w, binv, u, layout="wrapped") * vareps
                 PW = jnp.matmul(Ph, Wh, precision=prec)
                 PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
                 return (jnp.matmul(PW, Ph, precision=prec) + PWc, PWc)
