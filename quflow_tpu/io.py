@@ -171,9 +171,12 @@ class QuData:
         self._last_flush = _time.time()
         self.qtime = 0.0
 
-    def __call__(self, W, inner_time=None, inner_steps=None, **kwargs):
+    def __call__(self, W, inner_time=None, inner_steps=None, delta_time=None,
+                 **kwargs):
         from .quantization import mat2shr
 
+        if inner_time is None and delta_time is not None:
+            inner_time = delta_time  # modern driver callback signature
         if inner_time is not None:
             self.qtime += float(inner_time)
         data = mat2shr(np.asarray(W)) if self.qtype == "shr" else np.asarray(W)
