@@ -57,6 +57,29 @@ def _register_defaults():
     from .. import physics
     from ..ops import geometry
 
+    def isomp_tpu(W, dt, steps=100, **kwargs):
+        """Registrable TPU-stepper integrator (module-level warm instance)."""
+        from ..parallel.stepper import IsompTPU
+
+        global _ISOMP_TPU
+        try:
+            inst = _ISOMP_TPU
+        except NameError:
+            inst = None
+        if inst is None:
+            import numpy as _np
+
+            inst = IsompTPU(
+                maxit=int(kwargs.pop("maxit", 5)),
+                dtype=_np.complex64 if kwargs.pop("fast", True) else _np.complex128,
+            )
+            globals()["_ISOMP_TPU"] = inst
+        for k in ("tol", "minit", "compsum", "verbatim", "time", "maxit", "fast"):
+            kwargs.pop(k, None)
+        return inst(W, dt, steps=steps, **kwargs)
+
+    _REGISTRY.setdefault("isomp_tpu", isomp_tpu)
+
     for mod, names in (
         (lap, ["solve_poisson", "solve_heat", "solve_helmholtz", "solve_viscdamp",
                "solve_globalqg", "laplace"]),
