@@ -71,8 +71,11 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
                   layout="rolls", refine=0, op=None):
     """layout='rolls' (default): scatter-free barrel-shift pack/unpack - the
     TPU fast path (XLA scatter serializes on TPU; measured 60 ms vs <1 ms at
-    N=1024).  layout='scatter': index-map gather/scatter (used under a mesh,
-    where the roll chain would shuffle data across shards every stage).
+    N=1024).  layout='wrapped': all-N-rows variant, ~23% faster per solve at
+    N=1024 but with unpredictable (up to ~100x slower) XLA compile times at
+    some sizes - opt in per size after checking compile time.
+    layout='scatter': index-map gather/scatter (used under a mesh, where the
+    roll chain would shuffle data across shards every stage).
     ``refine``: iterative-refinement steps (recommended 1 in float32 for the
     ill-conditioned m=0 system)."""
     N = W.shape[-1]
@@ -134,7 +137,7 @@ def from_planes(Wri):
 
 
 def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=True,
-                     layout="wrapped"):
+                     layout="rolls"):
     """Jitted batched Poisson solve.  With ``planes_io`` (default, required
     on TPU) takes/returns split-complex planes (2, ..., N, N)."""
     rdtype = np.zeros(1, dtype=dtype).real.dtype
@@ -170,7 +173,7 @@ def build_step_fn(
     precision="highest",
     planes_io=True,
     refine=None,
-    layout="wrapped",
+    layout="rolls",
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
 
@@ -353,7 +356,7 @@ def build_mhd_step_fn(
     dtype=np.complex64,
     precision="highest",
     planes_io=True,
-    layout="wrapped",
+    layout="rolls",
 ):
     """Jitted multi-step magnetic-midpoint runner on the two-component state
     (W, Theta); planes I/O shape (2, 2, N, N) = (re/im, component, N, N).
