@@ -27,16 +27,25 @@ __all__ = ["build_shr2mat_fn", "build_mat2shr_fn", "basis_tensor"]
 @lru_cache(maxsize=16)
 def basis_tensor(N, lmax):
     """(lmax+1, N, lmax+1) real tensor B with B[m, i, l-m] = basis block
-    column entry; zero-padded outside each block's support."""
+    column entry; zero-padded outside each block's support.
+
+    Built from *truncated* per-m eigendecompositions (never materializes the
+    O(N^3/3) full basis), so it scales to large N for band-limited work."""
     assert lmax < N, "lmax must be < N"
     assert lmax + 1 <= num_rows(N, True), "band limit too large for skewh packing"
-    basis = get_basis(N)
+    from .basis import basis_block, _basis_cache
+    from .transforms import _block
+
     L = lmax + 1
     B = np.zeros((L, N, L))
-    for m in range(L):
-        b0 = basis_break_index(m, N)
-        blk = basis[b0 : b0 + (N - m) ** 2].reshape((N - m, N - m))
-        B[m, : N - m, : L - m] = blk[:, : L - m]
+    key = (N, np.dtype(np.float64))
+    if key in _basis_cache:  # full basis already resident: reuse it
+        basis = _basis_cache[key]
+        for m in range(L):
+            B[m, : N - m, : L - m] = _block(basis, N, m)[:, : L - m]
+    else:
+        for m in range(L):
+            B[m, : N - m, : L - m] = basis_block(N, m, columns=L - m)
     return B
 
 

@@ -43,6 +43,70 @@ def _block(basis, N, m):
     return basis[b0 : b0 + (N - m) ** 2].reshape((N - m, N - m))
 
 
+#: above this N, band-limited transforms stream truncated per-m basis blocks
+#: instead of materializing the O(N^3/3) full basis (~22 GB at N=2048;
+#: SURVEY.md section 7.3 hard part 6)
+_STREAM_THRESHOLD = 768
+
+
+def _use_streamed(N, Nmax):
+    from .basis import _basis_cache
+
+    if (N, np.dtype(np.float64)) in _basis_cache:
+        return False
+    return N >= _STREAM_THRESHOLD and Nmax < N
+
+
+def _streamed_blocks(N, Nmax):
+    from .basis import basis_block
+
+    for m in range(Nmax):
+        yield m, basis_block(N, m, columns=Nmax - m)
+
+
+def shr2mat_streamed(omega, N):
+    """Band-limited shr -> mat without the full basis: per-m truncated
+    eigendecompositions (eigh_tridiagonal select) computed on the fly."""
+    omega = np.asarray(omega)
+    Nmax = _nmax(omega.shape[0], N)
+    W = np.zeros((N, N), dtype=complex_dtype(omega.dtype))
+    c = 1.0 / np.sqrt(2)
+    for m, Bm in _streamed_blocks(N, Nmax):
+        if m == 0:
+            diag = Bm @ omega[elm2ind(np.arange(Nmax), 0)]
+            W[_lower_idx(N, 0)] = diag
+        else:
+            els = np.arange(m, Nmax)
+            oc = c * (omega[elm2ind(els, m)] - 1j * omega[elm2ind(els, -m)])
+            sgn = 1.0 if m % 2 == 0 else -1.0
+            diag_m = sgn * (Bm @ oc)
+            r, cc = _lower_idx(N, m)
+            W[r, cc] = np.conj(diag_m)
+            W[cc, r] = diag_m
+    W *= 1.0j
+    return W
+
+
+def mat2shr_streamed(W, elmax):
+    """Band-limited mat -> shr without the full basis."""
+    W = np.asarray(W)
+    N = W.shape[-1]
+    Nmax = elmax + 1
+    omega = np.zeros(Nmax**2, dtype=real_dtype(W.dtype))
+    sqrt2 = np.sqrt(2.0)
+    for m, Bm in _streamed_blocks(N, Nmax):
+        if m == 0:
+            diag = np.diagonal(W)
+            omega[elm2ind(np.arange(Nmax), 0)] = np.real((diag @ Bm) / 1.0j)
+        else:
+            sgn = 1.0 if m % 2 == 0 else -1.0
+            opc = np.diagonal(W, -m) @ Bm
+            els = np.arange(m, Nmax)
+            omega[elm2ind(els, m)] = sqrt2 * sgn * np.imag(opc)
+            omega[elm2ind(els, -m)] = -sqrt2 * sgn * np.real(opc)
+    return omega / N
+
+
 def _lower_idx(N, m):
     i = np.arange(N - m)
     return i + m, i
@@ -134,6 +198,8 @@ def shr2mat(omega, N=-1, berezin=False):
     assert np.isrealobj(omega), "omega must be a real array."
     if N == -1:
         N = round(np.sqrt(omega.shape[0]))
+    if not berezin and _use_streamed(N, _nmax(omega.shape[0], N)):
+        return shr2mat_streamed(omega, N)
     W = np.zeros((N, N), dtype=complex_dtype(omega.dtype))
     basis = get_basis(N, dtype=omega.dtype if omega.dtype.kind == "f" else np.float64)
     if berezin:
@@ -153,6 +219,8 @@ def mat2shr(W, elmax=-1, berezin=False):
     assert np.iscomplexobj(W), "W must be a complex array."
     N = W.shape[-1]
     Nmax = N if elmax <= 0 else (elmax + 1)
+    if not berezin and elmax > 0 and _use_streamed(N, Nmax):
+        return mat2shr_streamed(W, elmax)
     omega = np.zeros(Nmax**2, dtype=real_dtype(W.dtype))
     basis = get_basis(N, dtype=omega.dtype)
     mat2shr_(W, basis, omega)

@@ -121,3 +121,31 @@ def test_elmc2mat(el, m, N):
     T = qf.elmc2mat(el, m, N)
     np.testing.assert_allclose(T.toarray(), Tref, atol=1e-14)
     np.testing.assert_allclose(float(qf.norm_L2(T.toarray())), 1.0)
+
+
+def test_streamed_transforms_match_full():
+    """Band-limited streamed (truncated per-m eigh) path == full-basis path."""
+    from quflow_tpu.quantization.transforms import (
+        shr2mat_streamed, mat2shr_streamed,
+    )
+
+    N = 128
+    rng = np.random.RandomState(0)
+    omega = rng.randn(9**2)
+    W_full = qf.shr2mat(omega, N=N)
+    np.testing.assert_allclose(shr2mat_streamed(omega, N), W_full, atol=1e-11)
+    np.testing.assert_allclose(
+        mat2shr_streamed(W_full, 8), qf.mat2shr(W_full, elmax=8), atol=1e-11
+    )
+
+
+def test_streamed_scales_past_basis_memory():
+    """N=1536 > threshold: shr2mat works band-limited without materializing
+    the ~9 GB full basis (auto-streamed), and round-trips exactly."""
+    omega = qf.analysis.random_shr(lmax=8, seed=3)
+    W = qf.shr2mat(omega, N=1536)
+    from quflow_tpu.quantization.basis import _basis_cache
+
+    assert (1536, np.dtype(np.float64)) not in _basis_cache
+    om = qf.mat2shr(W, elmax=8)
+    np.testing.assert_allclose(om, omega, atol=1e-12)
