@@ -250,19 +250,25 @@ def isomp_fixedpoint(
     hb = hbar(N)
     vareps = dt / (2.0 * hb)
 
-    Wj = jnp.asarray(W)
-    cdtype = Wj.dtype
+    from ..config import device_for_dtype
 
-    autonomous = _probe_autonomous(hamiltonian, (Wj,), time)
-    autonomous_force = True
-    if forcing is not None:
-        autonomous_force = _probe_autonomous(forcing, (Wj, Wj), time)
+    cdtype = np.dtype(W.dtype)
+    # 64-bit state cannot live on the TPU (no c128) - route everything,
+    # including the upload, to CPU in that case.
+    with device_for_dtype(cdtype):
+        Wj = jnp.asarray(W)
+
+        autonomous = _probe_autonomous(hamiltonian, (Wj,), time)
+        autonomous_force = True
+        if forcing is not None:
+            autonomous_force = _probe_autonomous(forcing, (Wj, Wj), time)
 
     if tol == "auto" or (np.isscalar(tol) and tol < 0):
-        mach_eps = np.finfo(np.dtype(cdtype)).eps
+        mach_eps = np.finfo(cdtype).eps
         if not compsum:
             mach_eps = np.sqrt(mach_eps)
-        W0 = np.asarray(Wj[(0,) * (Wj.ndim - 2)]) if Wj.ndim > 2 else np.asarray(Wj)
+        Wn = np.asarray(W)
+        W0 = Wn[(0,) * (Wn.ndim - 2)] if Wn.ndim > 2 else Wn
         tol = float(mach_eps * dt / hb * np.linalg.norm(W0, np.inf))
         if verbatim:
             print(f"Tolerance set to {tol}.")
@@ -300,30 +306,31 @@ def isomp_fixedpoint(
         ),
     )
 
-    dW = jnp.zeros_like(Wj)
-    csum = jnp.zeros_like(Wj)
-    t = jnp.asarray(0.0 if time is None else time, dtype=jnp.real(Wj).dtype)
-    vareps_j = jnp.asarray(vareps, dtype=jnp.real(Wj).dtype)
-    tol_j = jnp.asarray(tol, dtype=jnp.real(Wj).dtype)
-    dt_j = jnp.asarray(dt, dtype=jnp.real(Wj).dtype)
-
     total_iters = 0
     total_maxit = 0
-    if callback is None:
-        Wj, dW, csum, t, iters, nmaxit, _ = run(
-            Wj, dW, csum, t, vareps_j, tol_j, dt_j, steps
-        )
-        total_iters = int(iters)
-        total_maxit = int(nmaxit)
-    else:
-        for _ in range(steps):
-            Wnew, dW, csum, t, iters, nmaxit, upd = run(
-                Wj, dW, csum, t, vareps_j, tol_j, dt_j, 1
+    with device_for_dtype(cdtype):
+        rdt = Wj.real.dtype
+        dW = jnp.zeros_like(Wj)
+        csum = jnp.zeros_like(Wj)
+        t = jnp.asarray(0.0 if time is None else time, dtype=rdt)
+        vareps_j = jnp.asarray(vareps, dtype=rdt)
+        tol_j = jnp.asarray(tol, dtype=rdt)
+        dt_j = jnp.asarray(dt, dtype=rdt)
+        if callback is None:
+            Wj, dW, csum, t, iters, nmaxit, _ = run(
+                Wj, dW, csum, t, vareps_j, tol_j, dt_j, steps
             )
-            callback(Wj, upd)
-            Wj = Wnew
-            total_iters += int(iters)
-            total_maxit += int(nmaxit)
+            total_iters = int(iters)
+            total_maxit = int(nmaxit)
+        else:
+            for _ in range(steps):
+                Wnew, dW, csum, t, iters, nmaxit, upd = run(
+                    Wj, dW, csum, t, vareps_j, tol_j, dt_j, 1
+                )
+                callback(Wj, upd)
+                Wj = Wnew
+                total_iters += int(iters)
+                total_maxit += int(nmaxit)
 
     if verbatim:
         print(

@@ -124,7 +124,11 @@ def magmp_fixedpoint(
     assert minit >= 1, "minit must be at least 1."
     assert maxit >= minit, "maxit must be at least minit."
 
-    Wj = jnp.asarray(W)
+    from ..config import device_for_dtype
+
+    cdtype = np.dtype(W.dtype)
+    with device_for_dtype(cdtype):
+        Wj = jnp.asarray(W)
     N = Wj.shape[-1]
     hb = hbar(N)
     vareps = dt / (2.0 * hb)
@@ -163,23 +167,23 @@ def magmp_fixedpoint(
         ),
     )
 
-    rdt = Wj.real.dtype
-    dW = jnp.zeros_like(Wj)
-    t = jnp.asarray(0.0 if time is None else time, dtype=rdt)
-    args = (jnp.asarray(vareps, rdt), jnp.asarray(tol, rdt), jnp.asarray(dt, rdt))
-
     total_iters = 0
     total_maxit = 0
-    if callback is None:
-        Wj, dW, t, iters, nmaxit = run(Wj, dW, t, *args, steps)
-        total_iters, total_maxit = int(iters), int(nmaxit)
-    else:
-        for _ in range(steps):
-            Wnew, dW, t, iters, nmaxit = run(Wj, dW, t, *args, 1)
-            callback(Wj, np.asarray(Wnew - Wj))
-            Wj = Wnew
-            total_iters += int(iters)
-            total_maxit += int(nmaxit)
+    with device_for_dtype(cdtype):
+        rdt = Wj.real.dtype
+        dW = jnp.zeros_like(Wj)
+        t = jnp.asarray(0.0 if time is None else time, dtype=rdt)
+        args = (jnp.asarray(vareps, rdt), jnp.asarray(tol, rdt), jnp.asarray(dt, rdt))
+        if callback is None:
+            Wj, dW, t, iters, nmaxit = run(Wj, dW, t, *args, steps)
+            total_iters, total_maxit = int(iters), int(nmaxit)
+        else:
+            for _ in range(steps):
+                Wnew, dW, t, iters, nmaxit = run(Wj, dW, t, *args, 1)
+                callback(Wj, np.asarray(Wnew - Wj))
+                Wj = Wnew
+                total_iters += int(iters)
+                total_maxit += int(nmaxit)
 
     if verbatim:
         print(

@@ -62,6 +62,8 @@ def norm_L2(W):
     N = W.shape[-1]
     if _is_dia(W):
         return np.sqrt((W.data * W.data.conj()).sum().real / N)
+    if isinstance(W, np.ndarray):  # host path: stay off accelerators (no f64)
+        return np.sqrt((W * W.conj()).real.sum(axis=(-2, -1)) / N)
     return jnp.linalg.norm(W, ord="fro", axis=(-2, -1)) / jnp.sqrt(float(N))
 
 
@@ -70,23 +72,31 @@ def inner_L2(P, W):
     N = W.shape[-1]
     if _is_dia(P) and _is_dia(W) and np.array_equal(W.offsets, P.offsets):
         return (P.data * W.data.conj()).sum().real / N
+    if isinstance(P, np.ndarray) and isinstance(W, np.ndarray):
+        return (P * W.conj()).real.sum(axis=(-2, -1)) / N
     return jnp.sum(P * jnp.conj(W), axis=(-2, -1)).real / N
 
 
 def norm_Linf(W):
     """Spectral norm (largest singular value), corresponding to L-infinity."""
+    if isinstance(W, np.ndarray):
+        return np.linalg.norm(W, ord=2)
     return jnp.linalg.norm(W, ord=2, axis=(-2, -1))
 
 
 def norm_L1(W):
     """Scaled nuclear norm sum |eig(W)| / N, corresponding to L^1."""
     N = W.shape[-1]
+    if isinstance(W, np.ndarray):
+        return np.abs(np.linalg.eigvals(W)).sum(-1) / N
     return jnp.abs(jnp.linalg.eigvals(W)).sum(-1) / N
 
 
 def integral(W):
     """Integral of the function represented by W: Re(-i tr(W)/N)."""
     N = W.shape[-1]
+    if isinstance(W, np.ndarray):
+        return np.real(-1j * np.trace(W, axis1=-2, axis2=-1) / N)
     trW = jnp.trace(W, axis1=-2, axis2=-1) / N
     return jnp.real(-1j * trW)
 
@@ -121,6 +131,12 @@ def rotate(xi, W):
     """Axis-angle (Rodrigues) rotation of a vorticity matrix: R W R^H with
     R = expm(xi . S)."""
     N = W.shape[-1]
+    if isinstance(W, np.ndarray):
+        from scipy.linalg import expm
+
+        S1, S2, S3 = so3_generators(N, dtype=W.dtype)
+        R = expm(xi[0] * S1 + xi[1] * S2 + xi[2] * S3)
+        return R @ W @ np.conj(R.T)
     S1, S2, S3 = so3_generators(N, dtype=np.asarray(W).dtype)
     R = jsl.expm(xi[0] * S1 + xi[1] * S2 + xi[2] * S3)
     return R @ W @ jnp.conj(R.T)

@@ -190,9 +190,16 @@ def _dia_apply(A, fn_el, fn_dense):
 
 
 def _solve_kind(W, kind, params, skewh):
+    from ..config import device_for_dtype
+
     N = W.shape[-1]
     fac = _factors(N, skewh, kind, params)
-    return _solve_packed(W, fac.w, fac.binv, fac.u, skewh)
+    if isinstance(W, jax.core.Tracer):
+        return _solve_packed(W, fac.w, fac.binv, fac.u, skewh)
+    # host API: numpy in -> numpy out (reference parity), computed on a
+    # device that supports the dtype (64-bit never runs on TPU)
+    with device_for_dtype(W.dtype):
+        return np.asarray(_solve_packed(W, fac.w, fac.binv, fac.u, skewh))
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +213,8 @@ def laplace(P, skewh=None):
     elements tagged with ``.el`` use the eigenvalue fast path
     Delta T_el = -el(el+1) T_el (cf. reference cpu.py:457-556).
     """
+    from ..config import device_for_dtype
+
     if _is_dia(P):
         def fel(A):
             el = A.el
@@ -219,8 +228,12 @@ def laplace(P, skewh=None):
         )
     skewh = _resolve_skewh(P, skewh)
     N = P.shape[-1]
-    op = jnp.asarray(laplacian(N, bc=False, skewh=skewh))
-    return _dot_packed_mat(P, op, skewh)
+    if isinstance(P, jax.core.Tracer):
+        op = jnp.asarray(laplacian(N, bc=False, skewh=skewh))
+        return _dot_packed_mat(P, op, skewh)
+    with device_for_dtype(P.dtype):
+        op = jnp.asarray(laplacian(N, bc=False, skewh=skewh))
+        return np.asarray(_dot_packed_mat(P, op, skewh))
 
 
 def solve_poisson(W, skewh=None, reduce="first"):
