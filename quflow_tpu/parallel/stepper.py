@@ -174,6 +174,7 @@ def build_step_fn(
     planes_io=True,
     refine=None,
     layout="rolls",
+    with_diagnostics=False,
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
 
@@ -257,9 +258,22 @@ def build_step_fn(
             W = W + upd
         return (W, dW, csum), None
 
+    def diagnostics(W):
+        """On-device energy/enstrophy (f32/f64 scalars per state): monitoring
+        long runs without any complex transfers or host math."""
+        P = _poisson_core(
+            W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+            refine=refine, op=op, layout=layout,
+        )
+        inner_WP = jnp.sum(W * jnp.conj(P), axis=(-2, -1)).real / N
+        inner_WW = jnp.sum(W * jnp.conj(W), axis=(-2, -1)).real / N
+        return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0], axis=-1)
+
     @jax.jit
     def run(W, dW, csum):
         (W, dW, csum), _ = lax.scan(step, (W, dW, csum), None, length=steps)
+        if with_diagnostics:
+            return W, dW, csum, diagnostics(W)
         return W, dW, csum
 
     @jax.jit
@@ -268,11 +282,14 @@ def build_step_fn(
         dW = lax.complex(dWri[0], dWri[1])
         csum = lax.complex(cri[0], cri[1])
         (W, dW, csum), _ = lax.scan(step, (W, dW, csum), None, length=steps)
-        return (
+        out = (
             jnp.stack([W.real, W.imag]),
             jnp.stack([dW.real, dW.imag]),
             jnp.stack([csum.real, csum.imag]),
         )
+        if with_diagnostics:
+            return out + (diagnostics(W),)
+        return out
 
     return run_planes if planes_io else run
 

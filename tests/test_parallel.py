@@ -149,3 +149,26 @@ def test_sharded_step_contains_collectives():
         coll in txt
         for coll in ("all-reduce", "collective-permute", "all-gather", "all-to-all")
     ), "no collectives found - step not actually distributed"
+
+
+def test_stepper_device_diagnostics():
+    """with_diagnostics returns on-device [energy, enstrophy] matching the
+    host functionals."""
+    from quflow_tpu import physics
+
+    d = np.load("tests/data/oracle.npz")
+    W0 = d["isomp_W0"]
+    dt = qf.hbar(16) * float(d["isomp_stepsize"])
+    fn = build_step_fn(
+        16, dt, steps=10, maxit=6, dtype=np.complex128, compsum=True,
+        planes_io=True, with_diagnostics=True,
+    )
+    Wp = jnp.asarray(to_planes(W0))
+    z = jnp.zeros_like(Wp)
+    Wout, _, _, diag = fn(Wp, z, z)
+    Wf = from_planes(np.asarray(Wout))
+    np.testing.assert_allclose(
+        np.asarray(diag),
+        [float(physics.energy_euler(Wf)), float(physics.enstrophy(Wf))],
+        rtol=1e-10,
+    )
