@@ -34,7 +34,6 @@ from jax import lax
 
 __all__ = [
     "packed_laplacian",
-    "thomas_factor",
     "solve_factored",
     "dot_packed",
     "TridiagFactors",
