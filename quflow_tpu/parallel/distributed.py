@@ -57,15 +57,23 @@ def global_mesh(dp=None):
 
 
 def save_checkpoint(path, state, step=0):
-    """Save a pytree of (possibly sharded) arrays."""
+    """Save a pytree of (possibly sharded) arrays.
+
+    Uses orbax when importable; falls back to a local ``.npz`` only on a
+    single process (``ImportError`` only).  On a multi-host run the fallback
+    would silently write per-host garbage, and any orbax *save* failure is a
+    real failure - both raise.
+    """
     try:
         import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(f"{path}/step_{step}"), state, force=True)
-        ckptr.wait_until_finished()
-        return f"{path}/step_{step}"
-    except Exception:
+    except ImportError:
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "orbax is required for multi-host checkpointing "
+                f"(process_count={jax.process_count()}); a local .npz "
+                "fallback would write per-host shards, not a global "
+                "checkpoint."
+            )
         os.makedirs(path, exist_ok=True)
         flat, treedef = jax.tree.flatten(state)
         np.savez(
@@ -73,18 +81,22 @@ def save_checkpoint(path, state, step=0):
             *[np.asarray(x) for x in flat],
         )
         return os.path.join(path, f"step_{step}.npz")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(f"{path}/step_{step}"), state, force=True)
+    ckptr.wait_until_finished()
+    return f"{path}/step_{step}"
 
 
 def load_checkpoint(path, like, step=0):
     """Load a checkpoint saved by save_checkpoint; ``like`` is a pytree of
     abstract or concrete arrays fixing structure/sharding."""
-    try:
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(f"{path}/step_{step}"), like)
-    except Exception:
-        data = np.load(os.path.join(path, f"step_{step}.npz"))
+    npz = os.path.join(path, f"step_{step}.npz")
+    if os.path.exists(npz):  # written by the single-host fallback
+        data = np.load(npz)
         flat, treedef = jax.tree.flatten(like)
         arrs = [data[f"arr_{i}"] for i in range(len(flat))]
         return jax.tree.unflatten(treedef, arrs)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(f"{path}/step_{step}"), like)

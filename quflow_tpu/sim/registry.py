@@ -15,6 +15,8 @@ import warnings
 
 _REGISTRY: dict = {}
 
+_RAISE = object()  # sentinel: resolve() raises on unknown names by default
+
 
 def register(name, fn=None):
     """Register a callable for by-name persistence.  Usable as decorator."""
@@ -28,15 +30,31 @@ def register(name, fn=None):
     return fn
 
 
-def resolve(name):
-    """Name -> callable; returns the name itself if unknown (with warning)."""
+def resolve(name, default=_RAISE, warn=True):
+    """Name -> callable.
+
+    Unknown names raise ``KeyError`` with a ``register()`` hint at resolve
+    time (not later, deep inside ``solve()``, as a confusing TypeError).
+    Callers that can degrade gracefully (e.g. optional loggers) pass an
+    explicit ``default``.
+    """
     if name in _REGISTRY:
         return _REGISTRY[name]
-    warnings.warn(
-        f"Callable '{name}' is not registered in quflow_tpu.sim.registry; "
-        "returning the name.  Register it before resuming this simulation."
+    if default is not _RAISE:
+        if not warn:
+            return default
+        warnings.warn(
+            f"Callable '{name}' is not registered in quflow_tpu.sim.registry; "
+            f"using default {default!r}.  Register it with "
+            f"quflow_tpu.sim.registry.register({name!r}, fn) before resuming."
+        )
+        return default
+    raise KeyError(
+        f"Callable '{name}' is not registered in quflow_tpu.sim.registry. "
+        f"A simulation persisted it by name; register the implementation "
+        f"before resuming:  from quflow_tpu.sim import registry; "
+        f"registry.register({name!r}, your_function)"
     )
-    return name
 
 
 def name_of(fn):

@@ -132,12 +132,12 @@ class QuSimulation:
                     )
                 if not self.loggers and "loggers" in g.attrs:
                     names = json.loads(g.attrs["loggers"])
+                    # loggers are optional diagnostics: degrade gracefully
+                    # (with a warning) instead of refusing to open the file
                     self.loggers = {
-                        k: registry.resolve(nm) for k, nm in names.items()
-                    }
-                    # drop unresolvable loggers (registry.resolve returned str)
-                    self.loggers = {
-                        k: v for k, v in self.loggers.items() if callable(v)
+                        k: v
+                        for k, nm in names.items()
+                        if callable(v := registry.resolve(nm, default=None))
                     }
         self._update_fieldnames()
 
@@ -181,8 +181,8 @@ class QuSimulation:
                     f[self.args_datapath].attrs[name] = value
 
     def _resolve_callable(self, name):
-        fn = registry.resolve(name)
-        if not callable(fn) and self.trusted:
+        fn = registry.resolve(name, default=None, warn=False)
+        if fn is None and self.trusted:
             # fall back to prerun-defined names when explicitly trusted
             env: dict = {}
             prerun = self.prerun
@@ -190,6 +190,8 @@ class QuSimulation:
                 exec(prerun, env)
                 if name in env:
                     return env[name]
+        if fn is None:
+            registry.resolve(name)  # raises KeyError with a register() hint
         return fn
 
     @property
