@@ -44,6 +44,11 @@ from ..ops.tridiag import solve_factored
 from ..ops.laplacian import _factors
 from ..ops.geometry import hbar
 from .mesh import rows_spec
+from .shard_pack import (
+    flat_mesh_view,
+    pack_wrapped_sharded,
+    unpack_wrapped_sharded,
+)
 
 __all__ = ["build_step_fn", "build_poisson_fn", "IsompTPU"]
 
@@ -55,14 +60,30 @@ class _Fac:
         self.w, self.binv, self.u, self.op = w, binv, u, op
 
 
-def _mesh_pad_rows(N, mesh):
+def _tensor_devices(mesh):
+    if mesh is None:
+        return 1
+    return flat_mesh_view(mesh).shape["tp"]
+
+
+def _mesh_layout(N, mesh, layout):
+    """Pick the solve layout under a mesh: the shard_map wrapped relayout
+    (one ppermute + one all-to-all per pack - see shard_pack.py) whenever
+    the shard count divides N, else the index-map gather/scatter fallback."""
+    if mesh is None:
+        return layout
+    return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
+
+
+def _mesh_pad_rows(N, mesh, layout="shard"):
     """Pad the packed row count R = N//2+1 (always odd) up to a multiple of
     the tensor-device count: GSPMD miscompiles gathers whose outputs are
     sharded unevenly (verified on jax 0.9 CPU mesh), and even shards also
-    tile better."""
-    if mesh is None:
+    tile better.  Only the scatter fallback layout needs this - the shard
+    layout packs all N wrapped rows, which divide evenly by construction."""
+    if mesh is None or layout != "scatter":
         return 0
-    td = mesh.shape["i"] * mesh.shape["j"]
+    td = _tensor_devices(mesh)
     R = num_rows(N, True)
     return (-R) % td
 
@@ -76,11 +97,23 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     some sizes - opt in per size after checking compile time.
     layout='scatter': index-map gather/scatter (used under a mesh, where the
     roll chain would shuffle data across shards every stage).
-    ``refine``: iterative-refinement steps (recommended 1 in float32 for the
-    ill-conditioned m=0 system)."""
+    layout='shard' (automatic under a mesh when the shard count divides N):
+    shard_map wrapped relayout with one ppermute + one all-to-all per
+    pack/unpack (shard_pack.py) - replaces the round-1 forced scatter, which
+    was ~250x pack-dominated.  ``refine``: iterative-refinement steps
+    (recommended 1 in float32 for the ill-conditioned m=0 system)."""
     N = W.shape[-1]
     if mesh is not None:
-        layout = "scatter"
+        layout = _mesh_layout(N, mesh, layout)
+    if layout == "shard":
+        fm = flat_mesh_view(mesh)
+        dense_spec = P("dp", "tp", None) if batched else P("tp", None)
+        W = lax.with_sharding_constraint(W, NamedSharding(fm, dense_spec))
+        d = subtract_row0_mean(pack_wrapped_sharded(W, mesh, batched=batched))
+        x = solve_factored(_Fac(w, binv, u), d, refine=refine, op=op)
+        x = subtract_row0_mean(x)
+        Pmat = unpack_wrapped_sharded(x, mesh, batched=batched)
+        return lax.with_sharding_constraint(Pmat, NamedSharding(fm, dense_spec))
     if layout == "wrapped":
         d = mat2wrapped(W, tracefree=True)
     elif layout == "rolls":
@@ -141,10 +174,11 @@ def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=
     """Jitted batched Poisson solve.  With ``planes_io`` (default, required
     on TPU) takes/returns split-complex planes (2, ..., N, N)."""
     rdtype = np.zeros(1, dtype=dtype).real.dtype
-    pad = _mesh_pad_rows(N, mesh)
-    if mesh is not None:
-        layout = "scatter"
-    w, binv, u = _real_factors(N, rdtype, pad_rows=pad, wrapped=(layout == "wrapped"))
+    layout = _mesh_layout(N, mesh, layout)
+    pad = _mesh_pad_rows(N, mesh, layout)
+    w, binv, u = _real_factors(
+        N, rdtype, pad_rows=pad, wrapped=(layout in ("wrapped", "shard"))
+    )
 
     @jax.jit
     def poisson_planes(Wri):
@@ -193,7 +227,8 @@ def build_step_fn(
     experiments).
     """
     rdtype = np.zeros(1, dtype=dtype).real.dtype
-    pad = _mesh_pad_rows(N, mesh)
+    layout = _mesh_layout(N, mesh, layout)
+    pad = _mesh_pad_rows(N, mesh, layout)
     if refine is None:
         # NOTE: naive refinement needs residuals computed beyond working
         # precision to help (measured: in f32 the residual of the stiff m=0
@@ -202,10 +237,9 @@ def build_step_fn(
         # ~4e-5 relative (vs ~1e-6 for other rows); Casimir conservation is
         # unaffected (the isospectral update conserves spectra for *any* P).
         refine = 0
-    if mesh is not None:
-        layout = "scatter"
     w, binv, u, op = _real_factors(
-        N, rdtype, pad_rows=pad, with_op=True, wrapped=(layout == "wrapped")
+        N, rdtype, pad_rows=pad, with_op=True,
+        wrapped=(layout in ("wrapped", "shard")),
     )
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(

@@ -127,6 +127,67 @@ def test_isomp_tpu_adapter():
     np.testing.assert_allclose(W, ref, atol=1e-13)
 
 
+def test_shard_pack_matches_wrapped():
+    """The shard_map relayout (local barrel + ppermute halo + all_to_all)
+    is bit-identical to the single-chip wrapped pack, including
+    non-power-of-two block sizes and a dp-sharded ensemble axis."""
+    from quflow_tpu.parallel.shard_pack import (
+        flat_mesh_view,
+        pack_wrapped_sharded,
+        unpack_wrapped_sharded,
+    )
+    from quflow_tpu.ops.diagpack import mat2wrapped
+
+    mesh = make_mesh(jax.devices(), dp=1)
+    fm = flat_mesh_view(mesh)
+    for N in (32, 48):
+        W = rsk(N, seed=3)
+        Wj = jax.device_put(jnp.asarray(W), NamedSharding(fm, P("tp", None)))
+        V = jax.jit(lambda x: pack_wrapped_sharded(x, mesh))(Wj)
+        Vref = np.asarray(mat2wrapped(jnp.asarray(W), tracefree=False))
+        np.testing.assert_array_equal(np.asarray(V), Vref)
+        back = jax.jit(lambda x: unpack_wrapped_sharded(x, mesh))(V)
+        np.testing.assert_array_equal(np.asarray(back), W)
+
+    mesh2 = make_mesh(jax.devices(), dp=2)
+    fm2 = flat_mesh_view(mesh2)
+    W = rsk(32, seed=4, batch=4)
+    Wj = jax.device_put(jnp.asarray(W), NamedSharding(fm2, P("dp", "tp", None)))
+    V = jax.jit(lambda x: pack_wrapped_sharded(x, mesh2, batched=True))(Wj)
+    Vref = np.asarray(mat2wrapped(jnp.asarray(W), tracefree=False))
+    np.testing.assert_array_equal(np.asarray(V), Vref)
+    back = jax.jit(lambda x: unpack_wrapped_sharded(x, mesh2, batched=True))(V)
+    np.testing.assert_array_equal(np.asarray(back), W)
+
+
+def test_sharded_poisson_o1_collectives():
+    """The mesh Poisson solve relayout must be O(1) collectives: exactly one
+    all-to-all and one collective-permute per pack/unpack (2 each per solve),
+    at most 2 small all-reduces (trace projections), and no all-gather or
+    scatter anywhere - the round-1 scatter fallback was ~250x pack-dominated."""
+    import re
+    from quflow_tpu.parallel.shard_pack import flat_mesh_view
+
+    N = 64
+    mesh = make_mesh(jax.devices(), dp=1)
+    fm = flat_mesh_view(mesh)
+    fn = build_poisson_fn(N, dtype=np.complex128, mesh=mesh, planes_io=True)
+    Wp = jax.device_put(
+        jnp.asarray(to_planes(rsk(N, seed=5))),
+        NamedSharding(fm, P(None, "tp", None)),
+    )
+    txt = jax.jit(fn).lower(Wp).compile().as_text()
+
+    def count(op):
+        return len(re.findall(re.escape(op) + r"\(", txt))
+
+    assert count("all-to-all") == 2, txt.count("all-to-all")
+    assert count("collective-permute") == 2
+    assert count("all-reduce") <= 2
+    assert count("all-gather") == 0
+    assert count(" scatter") == 0
+
+
 def test_sharded_step_contains_collectives():
     """The mesh-sharded step must actually distribute: its optimized HLO
     contains cross-device collectives (GSPMD-inserted for the 2-D GEMMs and
