@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -25,7 +26,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["solve_factored_pallas", "pad_cols"]
+__all__ = ["solve_factored_pallas", "pallas_base", "pad_cols"]
 
 
 def pad_cols(R, tile):
@@ -69,12 +70,15 @@ def _solve_T(wT, binvT, uT, dT, tile=128, interpret=False):
     Returns xT (C, N, Rp)."""
     C, N, Rp = dT.shape
     grid = (C, Rp // tile)
-    spec_f = pl.BlockSpec((N, tile), lambda c, r: (0, r), memory_space=pltpu.VMEM)
+    # Index maps derive their zero from the i32 grid index (c * 0): a literal
+    # 0 is traced as a weak i64 under global x64 and Mosaic then fails to
+    # legalize the index-map function's (i64, i32) return.
+    spec_f = pl.BlockSpec((N, tile), lambda c, r: (c * 0, r), memory_space=pltpu.VMEM)
     # None squeezes the channel dim: refs arrive as (N, tile) with no leading
     # block index (a manual ref.at[0] squeeze emits an i64 memref_slice under
     # global x64, which Mosaic rejects).
     spec_d = pl.BlockSpec(
-        (None, N, tile), lambda c, r: (c, 0, r), memory_space=pltpu.VMEM
+        (None, N, tile), lambda c, r: (c, c * 0, r), memory_space=pltpu.VMEM
     )
 
     return pl.pallas_call(
@@ -117,3 +121,27 @@ def solve_factored_pallas(w, binv, u, d_planes, tile=128, interpret=False):
     xT = _solve_T(wT, binvT, uT, dT, tile=tile, interpret=interpret)
     x = jnp.swapaxes(xT, 1, 2)[:, :R, :]
     return x
+
+
+def pallas_base(w, binv, u, tile=128, interpret=False):
+    """Base-solver callable ``d -> x`` for :func:`tridiag.solve_factored`.
+
+    Accepts real or complex rhs of shape (..., R, N); complex channels and
+    any leading batch dims are flattened into the kernel's channel grid
+    axis, so one pallas_call covers the whole batch.  On non-TPU backends
+    the kernel runs in interpret mode (bit-equivalent; lets layout='pallas'
+    be exercised by the CPU test suite).
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    def base(d):
+        cplx = jnp.iscomplexobj(d)
+        planes = jnp.stack([d.real, d.imag]) if cplx else d[None]
+        lead = planes.shape[:-2]
+        R, N = planes.shape[-2:]
+        flat = planes.reshape((int(np.prod(lead)), R, N))
+        x = solve_factored_pallas(w, binv, u, flat, tile=tile, interpret=interpret)
+        x = x.reshape(lead + (R, N))
+        return lax.complex(x[0], x[1]) if cplx else x[0]
+
+    return base

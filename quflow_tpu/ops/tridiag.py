@@ -121,7 +121,7 @@ def _affine_scan(c, v, axis=-1):
     return y
 
 
-def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None):
+def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None, base=None):
     """Solve op @ x = rhs for batched rhs (..., R, N) (real or complex).
 
     ``refine`` > 0 applies that many steps of mixed-precision iterative
@@ -133,17 +133,23 @@ def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None):
     reference's CUDA f32 path special-cases (cuda.py:457-492).  Refinement
     with a residual at working precision is useless (pure cancellation
     noise) - always pass a higher-precision ``op``.
+
+    ``base`` overrides the inner solver (signature d -> x, same shape/
+    dtype); used to route the base solve through the fused Pallas Thomas
+    kernel while keeping the refinement logic shared.
     """
     w = fac.w
     u = fac.u
     binv = fac.binv
 
-    def base(d):
-        if jnp.iscomplexobj(d):
-            return lax.complex(
-                _solve_real(w, u, binv, d.real), _solve_real(w, u, binv, d.imag)
-            )
-        return _solve_real(w, u, binv, d)
+    if base is None:
+        def base(d):
+            if jnp.iscomplexobj(d):
+                return lax.complex(
+                    _solve_real(w, u, binv, d.real),
+                    _solve_real(w, u, binv, d.imag),
+                )
+            return _solve_real(w, u, binv, d)
 
     x = base(rhs)
     if refine:
@@ -158,8 +164,7 @@ def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None):
             for _ in range(refine):
                 rr = (rhs_re - dot_packed(opd, x.real.astype(rd))).astype(ld)
                 ri = (rhs_im - dot_packed(opd, x.imag.astype(rd))).astype(ld)
-                x = x + lax.complex(_solve_real(w, u, binv, rr),
-                                    _solve_real(w, u, binv, ri))
+                x = x + base(lax.complex(rr, ri))
         else:
             rhs_hi = rhs.astype(rd)
             for _ in range(refine):

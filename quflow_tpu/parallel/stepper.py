@@ -66,13 +66,25 @@ def _tensor_devices(mesh):
     return flat_mesh_view(mesh).shape["tp"]
 
 
-def _mesh_layout(N, mesh, layout):
-    """Pick the solve layout under a mesh: the shard_map wrapped relayout
-    (one ppermute + one all-to-all per pack - see shard_pack.py) whenever
-    the shard count divides N, else the index-map gather/scatter fallback."""
-    if mesh is None:
-        return layout
-    return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
+def _resolve_layout(N, mesh, layout):
+    """Resolve the solve layout.
+
+    Under a mesh: the shard_map wrapped relayout (one ppermute + one
+    all-to-all per pack - see shard_pack.py) whenever the shard count
+    divides N, else the index-map gather/scatter fallback.
+
+    Single chip, layout='auto' (the default): 'wrapped' (all-N-rows barrel
+    pack + scan solve), the fastest device-validated layout.  The round-1
+    wrapped compile-time pathology (105 s at some sizes, commit 915e) is no
+    longer reproducible on this image's XLA - re-measured 64..2048 at
+    1.1-39 s, see docs/DESIGN.md - so wrapped no longer needs per-size
+    opt-in; 'rolls' remains the manual escape hatch and 'pallas' (wrapped
+    pack + fused VMEM Thomas kernel) the opt-in solve for large N."""
+    if mesh is not None:
+        return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
+    if layout in (None, "auto"):
+        return "wrapped"
+    return layout
 
 
 def _mesh_pad_rows(N, mesh, layout="shard"):
@@ -89,22 +101,24 @@ def _mesh_pad_rows(N, mesh, layout="shard"):
 
 
 def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
-                  layout="rolls", refine=0, op=None):
-    """layout='rolls' (default): scatter-free barrel-shift pack/unpack - the
-    TPU fast path (XLA scatter serializes on TPU; measured 60 ms vs <1 ms at
-    N=1024).  layout='wrapped': all-N-rows variant, ~23% faster per solve at
-    N=1024 but with unpredictable (up to ~100x slower) XLA compile times at
-    some sizes - opt in per size after checking compile time.
-    layout='scatter': index-map gather/scatter (used under a mesh, where the
-    roll chain would shuffle data across shards every stage).
-    layout='shard' (automatic under a mesh when the shard count divides N):
-    shard_map wrapped relayout with one ppermute + one all-to-all per
-    pack/unpack (shard_pack.py) - replaces the round-1 forced scatter, which
-    was ~250x pack-dominated.  ``refine``: iterative-refinement steps
-    (recommended 1 in float32 for the ill-conditioned m=0 system)."""
+                  layout="auto", refine=0, op=None):
+    """Poisson core in a chosen solve layout (see _resolve_layout for the
+    automatic policy):
+
+    * 'wrapped'  - all-N-rows barrel-shift pack (scatter-free; XLA scatter
+      serializes on TPU: 60 ms vs <1 ms at N=1024) + scan-parallel solve.
+    * 'pallas'   - wrapped pack + fused VMEM Thomas kernel
+      (ops/pallas_solve.py), the fastest single-chip solve at large N.
+    * 'rolls'    - R=N//2+1-row barrel pack variant (manual escape hatch).
+    * 'shard'    - mesh path: shard_map relayout with one ppermute + one
+      all-to-all per pack/unpack (shard_pack.py).
+    * 'scatter'  - index-map gather/scatter mesh fallback (shard count
+      does not divide N).
+
+    ``refine``: iterative-refinement steps (recommended 1 in float32 for
+    the ill-conditioned m=0 system)."""
     N = W.shape[-1]
-    if mesh is not None:
-        layout = _mesh_layout(N, mesh, layout)
+    layout = _resolve_layout(N, mesh, layout)
     if layout == "shard":
         fm = flat_mesh_view(mesh)
         dense_spec = P("dp", "tp", None) if batched else P("tp", None)
@@ -114,7 +128,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         x = subtract_row0_mean(x)
         Pmat = unpack_wrapped_sharded(x, mesh, batched=batched)
         return lax.with_sharding_constraint(Pmat, NamedSharding(fm, dense_spec))
-    if layout == "wrapped":
+    if layout in ("wrapped", "pallas"):
         d = mat2wrapped(W, tracefree=True)
     elif layout == "rolls":
         d = mat2diagh_rolls(W, tracefree=True, pad_rows=pad_rows)
@@ -122,9 +136,14 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         d = mat2diagh(W, skewh=True, tracefree=True, pad_rows=pad_rows)
     if mesh is not None:
         d = lax.with_sharding_constraint(d, NamedSharding(mesh, rows_spec(batched)))
-    x = solve_factored(_Fac(w, binv, u), d, refine=refine, op=op)
+    base = None
+    if layout == "pallas":
+        from ..ops.pallas_solve import pallas_base
+
+        base = pallas_base(w, binv, u)
+    x = solve_factored(_Fac(w, binv, u), d, refine=refine, op=op, base=base)
     x = subtract_row0_mean(x)
-    if layout == "wrapped":
+    if layout in ("wrapped", "pallas"):
         Pmat = wrapped2mat(x)
     elif layout == "rolls":
         Pmat = diagh2mat_rolls(x)
@@ -170,14 +189,14 @@ def from_planes(Wri):
 
 
 def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=True,
-                     layout="rolls"):
+                     layout="auto"):
     """Jitted batched Poisson solve.  With ``planes_io`` (default, required
     on TPU) takes/returns split-complex planes (2, ..., N, N)."""
     rdtype = np.zeros(1, dtype=dtype).real.dtype
-    layout = _mesh_layout(N, mesh, layout)
+    layout = _resolve_layout(N, mesh, layout)
     pad = _mesh_pad_rows(N, mesh, layout)
     w, binv, u = _real_factors(
-        N, rdtype, pad_rows=pad, wrapped=(layout in ("wrapped", "shard"))
+        N, rdtype, pad_rows=pad, wrapped=(layout in ("wrapped", "shard", "pallas"))
     )
 
     @jax.jit
@@ -207,7 +226,7 @@ def build_step_fn(
     precision="highest",
     planes_io=True,
     refine=None,
-    layout="rolls",
+    layout="auto",
     with_diagnostics=False,
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
@@ -227,7 +246,7 @@ def build_step_fn(
     experiments).
     """
     rdtype = np.zeros(1, dtype=dtype).real.dtype
-    layout = _mesh_layout(N, mesh, layout)
+    layout = _resolve_layout(N, mesh, layout)
     pad = _mesh_pad_rows(N, mesh, layout)
     if refine is None:
         # NOTE: naive refinement needs residuals computed beyond working
@@ -239,7 +258,7 @@ def build_step_fn(
         refine = 0
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
-        wrapped=(layout in ("wrapped", "shard")),
+        wrapped=(layout in ("wrapped", "shard", "pallas")),
     )
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(

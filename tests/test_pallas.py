@@ -24,3 +24,38 @@ def test_pallas_thomas_equivalence(N):
     )
     ref = np.asarray(solve_factored(fac, d))
     np.testing.assert_allclose(out[0] + 1j * out[1], ref, atol=1e-11)
+
+
+def test_pallas_layout_in_stepper():
+    """layout='pallas' end-to-end through the production Poisson core
+    (interpret mode on CPU) matches the wrapped scan layout."""
+    from quflow_tpu.parallel.stepper import build_poisson_fn, to_planes, from_planes
+
+    N = 64
+    rng = np.random.RandomState(3)
+    W = rng.randn(N, N) + 1j * rng.randn(N, N)
+    W = W - W.conj().T
+    import jax.numpy as jnp
+
+    Wp = jnp.asarray(to_planes(W))
+    Pw = from_planes(np.asarray(build_poisson_fn(N, dtype=np.complex128, layout="wrapped")(Wp)))
+    Pp = from_planes(np.asarray(build_poisson_fn(N, dtype=np.complex128, layout="pallas")(Wp)))
+    np.testing.assert_allclose(Pp, Pw, atol=1e-12)
+
+
+def test_pallas_layout_refine():
+    """refine=1 routes its correction solves through the pallas base."""
+    from quflow_tpu.parallel.stepper import _poisson_core, _real_factors
+    import jax.numpy as jnp
+
+    N = 64
+    rng = np.random.RandomState(4)
+    W = (rng.randn(N, N) + 1j * rng.randn(N, N)).astype(np.complex64)
+    W = W - W.conj().T
+    w, binv, u, op = _real_factors(N, np.float32, with_op=True, wrapped=True)
+    Pp = np.asarray(_poisson_core(jnp.asarray(W), w, binv, u, layout="pallas",
+                                  refine=1, op=op))
+    w2, binv2, u2, op2 = _real_factors(N, np.float64, with_op=True, wrapped=True)
+    Pref = np.asarray(_poisson_core(jnp.asarray(W.astype(np.complex128)),
+                                    w2, binv2, u2, layout="wrapped"))
+    assert np.abs(Pp - Pref).max() < 5e-6
