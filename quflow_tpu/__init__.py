@@ -76,6 +76,10 @@ from .transforms import (
     img2fun,
     as_fun,
     as_shr,
+    forward,
+    inverse,
+    mw2gl,
+    gl2mw,
 )
 from . import integrators
 from .integrators import (

@@ -30,11 +30,21 @@ __all__ = [
     "shsynthesis",
     "shanalysis",
     "legendre_blocks",
+    "mw_thetas",
+    "shsynthesis_mw",
+    "shanalysis_mw",
 ]
 
 
 def grid_shape(L):
     return (L, 2 * L - 1)
+
+
+def mw_thetas(L):
+    """McEwen-Wiaux colatitudes theta_j = pi (2j+1) / (2L-1), j = 0..L-1
+    (the reference's ducc0/pyssht sampling, reference
+    quflow/transforms.py:10-21)."""
+    return np.pi * (2.0 * np.arange(L) + 1.0) / (2.0 * L - 1.0)
 
 
 @lru_cache(maxsize=32)
@@ -68,11 +78,11 @@ def legendre_blocks(L, x):
         pmm = -np.sqrt((2 * m + 3.0) / (2 * m + 2.0)) * sint * pmm
 
 
-def shsynthesis(flm, L, reality=False):
-    """Coefficients (pyssht flat layout, length L^2) -> grid (L, 2L-1)."""
-    x, _ = _gl(L)
+def _synthesis_at(flm, L, x, reality):
+    """Evaluate band-limited coefficients on colatitude nodes ``x`` = cos
+    theta (any sampling) x equispaced phi."""
     nphi = 2 * L - 1
-    G = np.zeros((L, nphi), dtype=np.complex128)  # columns = FFT bins
+    G = np.zeros((x.shape[0], nphi), dtype=np.complex128)  # columns = FFT bins
     ell = np.arange(L)
     lidx = ell * (ell + 1)
     for m, block in legendre_blocks(L, x):
@@ -87,6 +97,56 @@ def shsynthesis(flm, L, reality=False):
     if reality:
         return np.ascontiguousarray(f.real)
     return f
+
+
+def shsynthesis(flm, L, reality=False):
+    """Coefficients (pyssht flat layout, length L^2) -> grid (L, 2L-1)."""
+    x, _ = _gl(L)
+    return _synthesis_at(flm, L, x, reality)
+
+
+def shsynthesis_mw(flm, L, reality=False):
+    """Coefficients -> McEwen-Wiaux-sampled grid (L, 2L-1) (the reference's
+    native sampling; lets quflow_tpu *write* fun datasets the reference's
+    tooling can consume)."""
+    return _synthesis_at(flm, L, np.cos(mw_thetas(L)), reality)
+
+
+def shanalysis_mw(f, L, reality=False):
+    """McEwen-Wiaux-sampled grid (L, 2L-1) -> coefficients (pyssht layout).
+
+    The MW colatitudes carry no simple exact quadrature rule, so analysis is
+    per-m *collocation*: for each azimuthal order the L theta samples of the
+    m-th Fourier mode are fit to the L-m associated-Legendre columns by
+    least squares - exact (to roundoff) for input band-limited to l <= L-1,
+    which is precisely what reference-produced ``fun`` datasets contain.
+    O(L^4) host flops; interop/I-O path only, not the hot loop."""
+    x = np.cos(mw_thetas(L))
+    nphi = 2 * L - 1
+    f = np.asarray(f)
+    if f.shape != (L, nphi):
+        raise ValueError(f"MW grid must have shape {(L, nphi)}, got {f.shape}")
+    F = np.fft.fft(np.asarray(f, dtype=np.complex128), axis=1) / nphi
+    flm = np.zeros(L * L, dtype=np.complex128)
+    ell = np.arange(L)
+    lidx = ell * (ell + 1)
+    for m, block in legendre_blocks(L, x):
+        els = np.arange(m, L)
+        flm[lidx[els] + m] = np.linalg.lstsq(block, F[:, m], rcond=None)[0]
+        if m > 0:
+            flm[lidx[els] - m] = ((-1.0) ** m) * np.linalg.lstsq(
+                block, F[:, nphi - m], rcond=None
+            )[0]
+    if reality:
+        for m in range(1, L):
+            els = np.arange(m, L)
+            fp = flm[lidx[els] + m]
+            fm = flm[lidx[els] - m]
+            avg = 0.5 * (fp + ((-1.0) ** m) * np.conj(fm))
+            flm[lidx[els] + m] = avg
+            flm[lidx[els] - m] = ((-1.0) ** m) * np.conj(avg)
+        flm[lidx] = flm[lidx].real
+    return flm
 
 
 def shanalysis(f, L, reality=False):

@@ -4,6 +4,12 @@ Functional parity with reference quflow/transforms.py:189-530 (``fun2shc``,
 ``shc2fun``, ``shc2shr``, ``shr2shc``, ``fun2img``, ``img2fun``, ``fun2shr``,
 ``shr2fun``, dispatchers ``as_fun``/``as_shr``), on the native Gauss-Legendre
 SHT of quflow_tpu/ops/sht.py instead of ducc0 (see that module's docstring).
+
+Grid interop: every fun-facing function takes ``grid='gl'`` (native,
+exact-quadrature) or ``grid='mw'`` (the reference's McEwen-Wiaux sampling) -
+so ``fun`` datasets written by the reference read, analyze, and round-trip
+here, and vice versa.  ``forward``/``inverse`` provide the pyssht-style API
+the reference emulates over ducc0 (reference quflow/transforms.py:117-183).
 """
 
 from __future__ import annotations
@@ -11,7 +17,12 @@ from __future__ import annotations
 import numpy as np
 
 from .utils import elm2ind, ind2elm, complex_dtype, real_dtype, berezin_multipliers
-from .ops.sht import shsynthesis, shanalysis
+from .ops.sht import (
+    shsynthesis,
+    shanalysis,
+    shsynthesis_mw,
+    shanalysis_mw,
+)
 from .quantization import mat2shr, mat2shc
 
 __all__ = [
@@ -25,24 +36,38 @@ __all__ = [
     "img2fun",
     "as_fun",
     "as_shr",
+    "forward",
+    "inverse",
+    "mw2gl",
+    "gl2mw",
 ]
 
 
-def fun2shc(f):
+def _grid_fns(grid):
+    if grid in ("gl", "GL"):
+        return shanalysis, shsynthesis
+    if grid in ("mw", "MW"):
+        return shanalysis_mw, shsynthesis_mw
+    raise ValueError(f"unknown grid {grid!r}; use 'gl' or 'mw'")
+
+
+def fun2shc(f, grid="gl"):
     """Grid function (N, 2N-1) -> complex SH coefficients (length N^2),
-    scaled by 1/sqrt(4 pi) as in the reference."""
+    scaled by 1/sqrt(4 pi) as in the reference.  ``grid`` selects the
+    sampling the input lives on ('gl' native, 'mw' = reference files)."""
     f = np.ascontiguousarray(f)
     N = f.shape[0]
     assert 2 * N - 1 == f.shape[1], "Shape of input must be (N, 2*N-1)."
+    analysis, _ = _grid_fns(grid)
     reality = np.isrealobj(f)
     if reality:
-        omega = shanalysis(f.astype(np.float64), N, reality=True)
+        omega = analysis(f.astype(np.float64), N, reality=True)
     else:
-        omega = shanalysis(f.astype(np.complex128), N, reality=False)
+        omega = analysis(f.astype(np.complex128), N, reality=False)
     return omega / np.sqrt(4.0 * np.pi)
 
 
-def shc2fun(omega, isreal=False, N=-1, berezin=True):
+def shc2fun(omega, isreal=False, N=-1, berezin=True, grid="gl"):
     """Complex SH coefficients -> grid function (N, 2N-1), scaled by
     sqrt(4 pi); applies Berezin smoothing multipliers by default
     (reference transforms.py:259-262)."""
@@ -56,7 +81,8 @@ def shc2fun(omega, isreal=False, N=-1, berezin=True):
     if berezin:
         bw = berezin_multipliers(N=N, dtype=real_dtype(omega.dtype))
         omega = omega * bw[: omega.shape[0]]
-    f = shsynthesis(omega, N, reality=isreal)
+    _, synthesis = _grid_fns(grid)
+    f = synthesis(omega, N, reality=isreal)
     return f * np.sqrt(4.0 * np.pi)
 
 
@@ -109,14 +135,56 @@ def shr2shc(omega_real):
     return omega_complex
 
 
-def fun2shr(f):
+def fun2shr(f, grid="gl"):
     """Grid function -> real SH coefficients."""
-    return shc2shr(fun2shc(f))
+    return shc2shr(fun2shc(f, grid=grid))
 
 
 def shr2fun(omega, N=-1, **kwargs):
     """Real SH coefficients -> grid function (N, 2N-1)."""
     return shc2fun(shr2shc(omega), isreal=True, N=N, **kwargs)
+
+
+def forward(f, L=None, Spin=0, Method="MW", Reality=False):
+    """pyssht-style analysis (the API the reference emulates over ducc0,
+    reference quflow/transforms.py:117-149).  Method 'MW' or 'GL'; spin
+    transforms are not part of the quflow workload."""
+    if Spin != 0:
+        raise NotImplementedError("spin-weighted transforms not supported")
+    f = np.asarray(f)
+    if L is None:
+        L = f.shape[0]
+    analysis, _ = _grid_fns("mw" if Method in ("MW", "MW_pole") else Method)
+    return analysis(f, L, reality=Reality)
+
+
+def inverse(flm, L=None, Spin=0, Method="MW", Reality=False):
+    """pyssht-style synthesis (reference quflow/transforms.py:151-183)."""
+    if Spin != 0:
+        raise NotImplementedError("spin-weighted transforms not supported")
+    flm = np.asarray(flm)
+    if L is None:
+        L = int(round(np.sqrt(flm.shape[0])))
+    _, synthesis = _grid_fns("mw" if Method in ("MW", "MW_pole") else Method)
+    return synthesis(flm, L, reality=Reality)
+
+
+def mw2gl(f):
+    """Resample a band-limited MW-sampled grid (reference-produced ``fun``
+    data) onto the native Gauss-Legendre grid, exactly."""
+    f = np.asarray(f)
+    L = f.shape[0]
+    reality = np.isrealobj(f)
+    return shsynthesis(shanalysis_mw(f, L, reality=reality), L, reality=reality)
+
+
+def gl2mw(f):
+    """Resample a band-limited Gauss-Legendre grid onto the reference's MW
+    sampling, exactly."""
+    f = np.asarray(f)
+    L = f.shape[0]
+    reality = np.isrealobj(f)
+    return shsynthesis_mw(shanalysis(f, L, reality=reality), L, reality=reality)
 
 
 def fun2img(f, lim=np.inf):
@@ -155,15 +223,16 @@ def as_fun(data, N=-1, **kwargs):
     return shr2fun(data, **kwargs) if N == -1 else shr2fun(data, N, **kwargs)
 
 
-def as_shr(data):
-    """Dispatch (mat | fun | img | shr | shc) -> shr."""
+def as_shr(data, grid="gl"):
+    """Dispatch (mat | fun | img | shr | shc) -> shr.  ``grid`` names the
+    sampling of fun/img inputs ('mw' for reference-produced data)."""
     data = np.asarray(data)
     if data.ndim == 2:
         if data.shape[0] == data.shape[1] and np.iscomplexobj(data):
             return mat2shr(data)
         if data.dtype == np.uint8:
-            return fun2shr(img2fun(data))
-        return fun2shr(data)
+            return fun2shr(img2fun(data), grid=grid)
+        return fun2shr(data, grid=grid)
     if np.iscomplexobj(data):
         return shc2shr(data)
     return data

@@ -119,3 +119,62 @@ def test_bracket_convergence():
     WP = qf.shr2mat(omegapsi, N=N)
     WPprime = np.asarray(qf.bracket(W, P))
     np.testing.assert_allclose(WP, WPprime, atol=0.05)
+
+
+def test_mw_grid_interop():
+    """MW-sampled fun data (the reference's ducc0/pyssht sampling) reads,
+    analyzes, and round-trips.  The 'reference-produced' input is built
+    independently by brute-force scipy sph_harm evaluation at the MW nodes,
+    which is exactly what ducc0 synthesis yields for band-limited data
+    (reference quflow/transforms.py:10-21, 117-183)."""
+    from scipy.special import sph_harm_y
+    from quflow_tpu.ops.sht import mw_thetas
+    from quflow_tpu.transforms import shr2shc, mw2gl, gl2mw
+
+    L = 12
+    rng = np.random.RandomState(5)
+    omega = rng.randn(L * L)
+    flm = shr2shc(omega) * np.sqrt(4.0 * np.pi)
+
+    th = mw_thetas(L)
+    ph = 2 * np.pi * np.arange(2 * L - 1) / (2 * L - 1)
+    T, PH = np.meshgrid(th, ph, indexing="ij")
+    f_mw = np.zeros_like(T)
+    for el in range(L):
+        for m in range(-el, el + 1):
+            f_mw = f_mw + (flm[el * el + el + m] * sph_harm_y(el, m, T, PH)).real
+
+    # analyze reference-style MW data back to real coefficients
+    np.testing.assert_allclose(qf.as_shr(f_mw, grid="mw"), omega, atol=1e-10)
+    np.testing.assert_allclose(qf.fun2shr(f_mw, grid="mw"), omega, atol=1e-10)
+
+    # exact resampling MW <-> GL for band-limited data
+    f_gl = qf.shr2fun(omega, N=L, berezin=False)
+    np.testing.assert_allclose(mw2gl(f_mw), f_gl, atol=1e-10)
+    np.testing.assert_allclose(gl2mw(f_gl), f_mw, atol=1e-10)
+
+    # synthesis onto the MW grid writes reference-consumable data
+    np.testing.assert_allclose(
+        qf.shr2fun(omega, N=L, berezin=False, grid="mw"), f_mw, atol=1e-10
+    )
+
+
+def test_pyssht_style_forward_inverse():
+    """forward/inverse parity with the pyssht-style API the reference
+    emulates (reference transforms.py:117-183): MW and GL methods, real and
+    complex, round trip to machine precision."""
+    from quflow_tpu.transforms import forward, inverse
+
+    L = 16
+    rng = np.random.RandomState(6)
+    for reality in (False, True):
+        flm = rng.randn(L * L) + (0 if reality else 1j * rng.randn(L * L))
+        if reality:
+            # valid coefficients of a real signal
+            from quflow_tpu.transforms import shr2shc
+
+            flm = shr2shc(rng.randn(L * L))
+        for method in ("MW", "GL"):
+            f = inverse(flm, L, Method=method, Reality=reality)
+            back = forward(f, L, Method=method, Reality=reality)
+            np.testing.assert_allclose(back, flm, atol=1e-11)
