@@ -1,16 +1,23 @@
-"""Headline benchmark: isospectral-midpoint steps/second at N=1024.
+"""Headline benchmark + roofline sweep: isospectral-midpoint steps/second.
 
-Runs the branch-free production stepper (quflow_tpu/parallel/stepper.py) on
+Default (driver) mode runs the branch-free production stepper at N=1024 on
 the default JAX backend (the real TPU chip under the driver), complex64
 split-planes, fixed 5 fixed-point iterations per step, f32-accurate
-('highest') MXU precision, Kahan-compensated updates.
+('highest') MXU precision, Kahan-compensated updates - and prints ONE JSON
+line:
+
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "mfu": ...,
+   "sweep": {...from benchmarks/sweep_round2.json if present...}}
+
+``python bench.py --sweep`` measures the full N x layout x precision sweep
+(N in {512, 1024, 2048, 4096} at scientific precision, wrapped vs pallas
+solve layouts) plus per-op roofline numbers, and writes
+benchmarks/sweep_round2.json.  The sweep is run out-of-band (it takes
+several minutes of device time); the driver-mode line embeds its artifact.
 
 The baseline is the reference-equivalent CPU implementation (scipy
 solveh_banded + BLAS zgemm, complex128 - the reference's own LAPACK backend;
 see benchmarks/cpu_baseline.py), measured once on this host and cached.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
 
 import json
@@ -22,18 +29,51 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N = int(os.environ.get("QUFLOW_BENCH_N", "1024"))
+N_HEADLINE = int(os.environ.get("QUFLOW_BENCH_N", "1024"))
 MAXIT = 5
-STEPS_PER_CALL = int(os.environ.get("QUFLOW_BENCH_STEPS", "100"))
 PRECISION = os.environ.get("QUFLOW_BENCH_PRECISION", "highest")
+SWEEP_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks", "sweep_round2.json"
+)
+
+# chip peaks for utilization accounting (per chip)
+_PEAKS = {
+    # device_kind substring: (bf16 peak flops/s, HBM bytes/s)
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),
+}
+# MXU passes per f32-accurate ('highest') matmul: each f32 operand splits
+# into 3 bf16 terms; XLA evaluates the 6 significant cross-products.
+_PASSES = {"highest": 6, "high": 3, "default": 1}
 
 
-def measure_tpu():
+def _chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return (197e12, 819e9)  # assume v5e
+
+
+def _flops_per_step(N, maxit, precision):
+    """Algorithmic (model) flops of one isomp step: maxit x 2 complex N^3
+    GEMMs, 8 real flops per complex MAC; karatsuba does the same model work
+    with 3/4 the hardware multiplies (accounted in passes, not here)."""
+    return maxit * 2 * 8 * N**3
+
+
+def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXIT):
+    """Sync-amortized steps/s of the production stepper on the default
+    backend.  Returns (sec_per_step, poisson_core_ms)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
     from quflow_tpu.parallel.stepper import (
-        build_step_fn,
         to_planes,
         _real_factors,
         _poisson_core,
@@ -41,19 +81,28 @@ def measure_tpu():
     from quflow_tpu.ops.geometry import hbar
 
     dt = 0.25 * hbar(N)
-
-    # One jitted program running STEPS_PER_CALL steps and returning a f32
-    # scalar: device->host sync of complex arrays is unimplemented on this
-    # TPU runtime and the tunnel adds ~25 ms latency per sync, so timing
-    # must amortize many steps behind a single scalar pull.
     rdtype = np.float32
-    w, binv, u = _real_factors(N, rdtype, wrapped=True)
+    wrapped = layout in ("wrapped", "pallas")
+    w, binv, u = _real_factors(N, rdtype, wrapped=wrapped)
     vareps = np.float32(dt / (2.0 * hbar(N)))
     prec = dict(
         highest=lax.Precision.HIGHEST,
         high=lax.Precision.HIGH,
         default=lax.Precision.DEFAULT,
-    )[PRECISION]
+    )[precision.replace("_karatsuba", "")]
+    karatsuba = precision.endswith("_karatsuba")
+
+    if karatsuba:
+        def mm(a, b):
+            ar, ai = a.real, a.imag
+            br, bi = b.real, b.imag
+            t1 = jnp.matmul(ar, br, precision=prec)
+            t2 = jnp.matmul(ai, bi, precision=prec)
+            t3 = jnp.matmul(ar + ai, br + bi, precision=prec)
+            return lax.complex(t1 - t2, t3 - t1 - t2)
+    else:
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=prec)
 
     @jax.jit
     def run(Wri):
@@ -65,12 +114,12 @@ def measure_tpu():
             def it(k, st):
                 dW, _ = st
                 Wh = Wc + dW
-                Ph = _poisson_core(Wh, w, binv, u, layout="wrapped") * vareps
-                PW = jnp.matmul(Ph, Wh, precision=prec)
+                Ph = _poisson_core(Wh, w, binv, u, layout=layout) * vareps
+                PW = mm(Ph, Wh)
                 PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
-                return (jnp.matmul(PW, Ph, precision=prec) + PWc, PWc)
+                return (mm(PW, Ph) + PWc, PWc)
 
-            dW, PWc = lax.fori_loop(0, MAXIT, it, (dW, jnp.zeros_like(Wc)))
+            dW, PWc = lax.fori_loop(0, maxit, it, (dW, jnp.zeros_like(Wc)))
             upd = 2.0 * PWc
             y = upd - csum
             t = Wc + y
@@ -78,8 +127,19 @@ def measure_tpu():
             return (t, dW, csum), None
 
         z = jnp.zeros_like(W0)
-        (Wc, _, _), _ = lax.scan(step, (W0, z, z), None, length=STEPS_PER_CALL)
+        (Wc, _, _), _ = lax.scan(step, (W0, z, z), None, length=steps)
         return jnp.abs(Wc).mean()
+
+    @jax.jit
+    def poisson_only(Wri, reps):
+        W0 = lax.complex(Wri[0], Wri[1])
+
+        def body(k, acc):
+            P = _poisson_core(acc, w, binv, u, layout=layout)
+            return acc + 1e-12 * P  # keep the chain data-dependent
+
+        out = lax.fori_loop(0, reps, body, W0)
+        return jnp.abs(out).mean()
 
     rng = np.random.RandomState(42)
     W = rng.randn(N, N) + 1j * rng.randn(N, N)
@@ -96,14 +156,76 @@ def measure_tpu():
     latency = (time.time() - t0) / 3
 
     v = float(run(Wri))  # compile + warm
+    assert np.isfinite(v), "NaN/Inf in benchmark state"
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        v = float(run(Wri))
+        float(run(Wri))
         best = min(best, time.time() - t0)
-    sec_per_step = max(best - latency, 1e-9) / STEPS_PER_CALL
-    assert np.isfinite(v), "NaN/Inf in benchmark state"
-    return sec_per_step
+    sec_per_step = max(best - latency, 1e-9) / steps
+
+    reps = 50
+    float(poisson_only(Wri, reps))
+    t0 = time.time()
+    float(poisson_only(Wri, reps))
+    poisson_ms = max(time.time() - t0 - latency, 1e-9) / reps * 1e3
+
+    return sec_per_step, poisson_ms
+
+
+def roofline(N, sec_per_step, poisson_ms, precision, maxit=MAXIT):
+    peak_bf16, peak_hbm = _chip_peaks()
+    model_flops = _flops_per_step(N, maxit, precision)
+    achieved = model_flops / sec_per_step
+    passes = _PASSES[precision.replace("_karatsuba", "")]
+    if precision.endswith("_karatsuba"):
+        passes = passes * 0.75  # 3 real matmuls instead of 4
+    # solve bytes per Poisson core: read 2 f32 planes + 3 f32 factor arrays
+    # (w, binv, u broadcast over N rows) + write 2 planes, ~N^2 each
+    solve_bytes = (2 + 3 + 2) * 4 * N * N
+    return {
+        "model_tflops": round(achieved / 1e12, 2),
+        "mfu_vs_bf16_peak": round(achieved * passes / peak_bf16, 3),
+        "gemm_fraction_of_step": None,  # filled by caller if measured
+        "solve_bw_gbs": round(solve_bytes / (poisson_ms * 1e-3) / 1e9, 1),
+        "solve_bw_util": round(solve_bytes / (poisson_ms * 1e-3) / peak_hbm, 3),
+    }
+
+
+def run_sweep():
+    """Out-of-band sweep: N x layout at scientific precision + roofline."""
+    results = {"config": "c64 planes, maxit=5, compsum, production stepper",
+               "device": None, "points": {}}
+    import jax
+
+    results["device"] = jax.devices()[0].device_kind
+    cases = [
+        (512, "highest", 200),
+        (1024, "highest", 100),
+        (2048, "highest", 30),
+        (4096, "highest_karatsuba", 10),
+    ]
+    for N, prec, steps in cases:
+        for layout in ("wrapped", "pallas"):
+            key = f"N{N}_{layout}"
+            try:
+                sec, pms = measure_step(N, precision=prec, layout=layout, steps=steps)
+            except Exception as exc:  # record and continue the sweep
+                results["points"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+                print(f"{key}: FAILED {exc}", file=sys.stderr)
+                continue
+            entry = {
+                "precision": prec,
+                "steps_per_sec": round(1.0 / sec, 2),
+                "poisson_core_ms": round(pms, 3),
+            }
+            entry.update(roofline(N, sec, pms, prec))
+            results["points"][key] = entry
+            print(f"{key}: {entry}", file=sys.stderr)
+    os.makedirs(os.path.dirname(SWEEP_PATH), exist_ok=True)
+    with open(SWEEP_PATH, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"sweep_written": SWEEP_PATH}))
 
 
 def main():
@@ -116,23 +238,28 @@ def main():
 
     signal.signal(signal.SIGALRM, _timeout)
     per_try = int(os.environ.get("QUFLOW_BENCH_TIMEOUT", "480"))
-    tpu_sec = None
+    res = None
     last_exc = None
     for attempt in range(2):
         signal.alarm(per_try)
         try:
-            tpu_sec = measure_tpu()
+            res = measure_step(
+                N_HEADLINE,
+                precision=PRECISION,
+                layout=os.environ.get("QUFLOW_BENCH_LAYOUT", "wrapped"),
+                steps=int(os.environ.get("QUFLOW_BENCH_STEPS", "100")),
+            )
             break
         except Exception as exc:
             last_exc = exc
             time.sleep(90)  # tunnel sometimes recovers after a quiet period
         finally:
             signal.alarm(0)
-    if tpu_sec is None:
+    if res is None:
         print(
             json.dumps(
                 {
-                    "metric": f"isomp_steps_per_sec_N{N}",
+                    "metric": f"isomp_steps_per_sec_N{N_HEADLINE}",
                     "value": 0.0,
                     "unit": "steps/s",
                     "vs_baseline": 0.0,
@@ -141,30 +268,32 @@ def main():
             )
         )
         return
+    tpu_sec, poisson_ms = res
 
-    os.environ.setdefault("QUFLOW_BENCH_SKIP_BASELINE", "0")
     vs_baseline = None
     try:
         from benchmarks.cpu_baseline import get_baseline
 
-        cpu_sec = get_baseline(N, maxit=MAXIT)
+        cpu_sec = get_baseline(N_HEADLINE, maxit=MAXIT)
         vs_baseline = cpu_sec / tpu_sec  # speedup over reference CPU path
     except Exception:
         vs_baseline = float("nan")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"isomp_steps_per_sec_N{N}",
-                "value": round(1.0 / tpu_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(vs_baseline, 3)
-                if vs_baseline == vs_baseline
-                else None,
-            }
-        )
-    )
+    out = {
+        "metric": f"isomp_steps_per_sec_N{N_HEADLINE}",
+        "value": round(1.0 / tpu_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "mfu": roofline(N_HEADLINE, tpu_sec, poisson_ms, PRECISION),
+    }
+    if os.path.exists(SWEEP_PATH):
+        with open(SWEEP_PATH) as f:
+            out["sweep"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        run_sweep()
+    else:
+        main()

@@ -38,6 +38,16 @@ if os.environ.get("QUFLOW_TPU_X64", "1") not in ("0", "false", "False"):
 else:
     X64 = False
 
+# Scientific default: bare matmuls (the reference-parity integrators' GEMMs)
+# run f32-accurate on the MXU rather than single-pass bf16.  Explicit
+# ``precision=`` arguments (the production stepper's knob) still override.
+# This also avoids the TPU runtime's unimplemented default-precision complex
+# matmul path for device-resident c64 state.
+jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("QUFLOW_TPU_MATMUL_PRECISION", "highest"),
+)
+
 import numpy as _np
 
 #: Default real/complex dtypes for simulation state.
@@ -61,3 +71,64 @@ def device_for_dtype(dtype):
         except RuntimeError:  # pragma: no cover
             pass
     return contextlib.nullcontext()
+
+
+# ---------------------------------------------------------------------------
+# complex host<->device boundary
+#
+# The TPU runtime in this environment does not implement complex
+# host<->device transfers (UNIMPLEMENTED); complex arithmetic *on* device is
+# fully supported.  These helpers make the reference-parity integrator APIs
+# (qf.isomp / erk / magmp) work with complex64 state on an accelerator-default
+# host by crossing the boundary as split real planes recombined/split by tiny
+# jitted programs - the same boundary the production stepper uses
+# (parallel/stepper.py planes I/O; cf. the reference's CUDA path solving
+# Re/Im planes separately, reference experimental/cuda.py:364-418).
+# ---------------------------------------------------------------------------
+
+def _target_platform():
+    """Platform arrays will land on: honors an active jax.default_device
+    context (device_for_dtype routes 64-bit work to CPU), else the default
+    backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev))
+    return jax.default_backend()
+
+
+_plane_fns = {}
+
+
+def device_put_complex(W):
+    """Upload a host array to the target device; complex arrays destined for
+    a non-CPU backend go as split real planes."""
+    import jax.numpy as jnp
+
+    W = _np.asarray(W)
+    if not _np.iscomplexobj(W) or _target_platform() == "cpu":
+        return jnp.asarray(W)
+    if "combine" not in _plane_fns:
+        from jax import lax
+
+        _plane_fns["combine"] = jax.jit(lambda p: lax.complex(p[0], p[1]))
+    planes = jnp.asarray(_np.ascontiguousarray(_np.stack([W.real, W.imag])))
+    return _plane_fns["combine"](planes)
+
+
+def device_get_complex(Wj):
+    """Download a device array to host numpy; complex arrays on a non-CPU
+    device come back as split real planes."""
+    import jax.numpy as jnp
+
+    if not jnp.iscomplexobj(Wj):
+        return _np.asarray(Wj)
+    try:
+        platform = list(Wj.devices())[0].platform
+    except Exception:
+        platform = _target_platform()
+    if platform == "cpu":
+        return _np.asarray(Wj)
+    if "split" not in _plane_fns:
+        _plane_fns["split"] = jax.jit(lambda w: jnp.stack([w.real, w.imag]))
+    p = _np.asarray(_plane_fns["split"](Wj))
+    return p[0] + 1j * p[1]

@@ -69,13 +69,13 @@ def _runner(method, hamiltonian, forcing):
 
 
 def _integrate(method, W, dt, steps, hamiltonian, forcing, stats=None):
-    from ..config import device_for_dtype
+    from ..config import device_for_dtype, device_put_complex, device_get_complex
 
     if hamiltonian is None:
         hamiltonian = partial(solve_poisson, skewh=True)
     run = _runner(method, hamiltonian, forcing)
     with device_for_dtype(W.dtype):
-        out = np.asarray(run(jnp.asarray(W), jnp.asarray(dt), steps))
+        out = device_get_complex(run(device_put_complex(W), jnp.asarray(dt), steps))
     if stats is not None:
         update_stats(stats, steps=steps)
     if isinstance(W, np.ndarray):

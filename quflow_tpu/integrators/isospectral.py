@@ -250,13 +250,15 @@ def isomp_fixedpoint(
     hb = hbar(N)
     vareps = dt / (2.0 * hb)
 
-    from ..config import device_for_dtype
+    from ..config import device_for_dtype, device_put_complex, device_get_complex
 
     cdtype = np.dtype(W.dtype)
     # 64-bit state cannot live on the TPU (no c128) - route everything,
-    # including the upload, to CPU in that case.
+    # including the upload, to CPU in that case.  complex64 runs on the
+    # accelerator, crossing the boundary as split planes (no complex
+    # host<->device transfers on this TPU runtime).
     with device_for_dtype(cdtype):
-        Wj = jnp.asarray(W)
+        Wj = device_put_complex(W)
 
         autonomous = _probe_autonomous(hamiltonian, (Wj,), time)
         autonomous_force = True
@@ -342,7 +344,7 @@ def isomp_fixedpoint(
         stats["iterations"] = total_iters / steps
         stats["number_of_maxit"] = total_maxit / steps
 
-    out = np.asarray(Wj)
+    out = device_get_complex(Wj)
     if isinstance(W, np.ndarray):
         np.copyto(W, out)
         return W

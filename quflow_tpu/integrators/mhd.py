@@ -124,11 +124,11 @@ def magmp_fixedpoint(
     assert minit >= 1, "minit must be at least 1."
     assert maxit >= minit, "maxit must be at least minit."
 
-    from ..config import device_for_dtype
+    from ..config import device_for_dtype, device_put_complex, device_get_complex
 
     cdtype = np.dtype(W.dtype)
     with device_for_dtype(cdtype):
-        Wj = jnp.asarray(W)
+        Wj = device_put_complex(W)
     N = Wj.shape[-1]
     hb = hbar(N)
     vareps = dt / (2.0 * hb)
@@ -152,7 +152,7 @@ def magmp_fixedpoint(
 
     if tol == "auto" or (np.isscalar(tol) and tol < 0):
         mach_eps = np.sqrt(np.finfo(np.dtype(Wj.dtype)).eps)
-        tol = float(mach_eps * dt / hb * np.linalg.norm(np.asarray(Wj)[0], np.inf))
+        tol = float(mach_eps * dt / hb * np.linalg.norm(np.asarray(W)[0], np.inf))
         if stats is not None:
             stats["tol"] = tol
 
@@ -193,7 +193,7 @@ def magmp_fixedpoint(
         stats["iterations"] = total_iters / steps
         stats["maxit"] = total_maxit / steps
 
-    out = np.asarray(Wj)
+    out = device_get_complex(Wj)
     if isinstance(W, np.ndarray):
         np.copyto(W, out)
         return W

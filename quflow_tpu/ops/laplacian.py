@@ -123,12 +123,16 @@ def _dot_packed_mat(P, op, skewh):
 
 def _is_skewh(W):
     """Auto-detect skew-Hermiticity for concrete (non-traced) inputs."""
-    if isinstance(W, np.ndarray) or not isinstance(W, jax.core.Tracer):
-        Wn = np.asarray(W)
-        return bool(np.allclose(Wn, -np.conj(np.swapaxes(Wn, -1, -2))))
-    raise ValueError(
-        "skewh must be passed explicitly when called on traced arrays"
-    )
+    if isinstance(W, jax.core.Tracer):
+        raise ValueError(
+            "skewh must be passed explicitly when called on traced arrays"
+        )
+    if isinstance(W, jax.Array):
+        # device-resident: evaluate on device (complex downloads are
+        # UNIMPLEMENTED on this TPU runtime); the result is a bool scalar
+        return bool(jnp.allclose(W, -jnp.conj(jnp.swapaxes(W, -1, -2))))
+    Wn = np.asarray(W)
+    return bool(np.allclose(Wn, -np.conj(np.swapaxes(Wn, -1, -2))))
 
 
 # Process-level default for reference-API compatibility (the reference
@@ -194,11 +198,13 @@ def _solve_kind(W, kind, params, skewh):
 
     N = W.shape[-1]
     fac = _factors(N, skewh, kind, params)
-    if isinstance(W, jax.core.Tracer):
+    if isinstance(W, (jax.core.Tracer, jax.Array)):
+        # traced or device-resident input -> stay on device (a complex
+        # download would be UNIMPLEMENTED on this TPU runtime anyway)
         return _solve_packed(W, fac.w, fac.binv, fac.u, skewh)
     # host API: numpy in -> numpy out (reference parity), computed on a
     # device that supports the dtype (64-bit never runs on TPU)
-    with device_for_dtype(W.dtype):
+    with device_for_dtype(np.dtype(W.dtype)):
         return np.asarray(_solve_packed(W, fac.w, fac.binv, fac.u, skewh))
 
 
@@ -228,10 +234,10 @@ def laplace(P, skewh=None):
         )
     skewh = _resolve_skewh(P, skewh)
     N = P.shape[-1]
-    if isinstance(P, jax.core.Tracer):
+    if isinstance(P, (jax.core.Tracer, jax.Array)):
         op = jnp.asarray(laplacian(N, bc=False, skewh=skewh))
         return _dot_packed_mat(P, op, skewh)
-    with device_for_dtype(P.dtype):
+    with device_for_dtype(np.dtype(P.dtype)):
         op = jnp.asarray(laplacian(N, bc=False, skewh=skewh))
         return np.asarray(_dot_packed_mat(P, op, skewh))
 

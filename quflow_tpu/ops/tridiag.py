@@ -138,9 +138,12 @@ def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None, base=None):
     dtype); used to route the base solve through the fused Pallas Thomas
     kernel while keeping the refinement logic shared.
     """
-    w = fac.w
-    u = fac.u
-    binv = fac.binv
+    # match factor precision to the rhs working precision (a complex64 state
+    # on an accelerator solves in f32; the stored factors are f64)
+    rd = jnp.asarray(rhs).real.dtype
+    w = jnp.asarray(fac.w, dtype=rd)
+    u = jnp.asarray(fac.u, dtype=rd)
+    binv = jnp.asarray(fac.binv, dtype=rd)
 
     if base is None:
         def base(d):

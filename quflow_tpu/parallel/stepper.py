@@ -228,6 +228,8 @@ def build_step_fn(
     refine=None,
     layout="auto",
     with_diagnostics=False,
+    tol=None,
+    minit=1,
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
 
@@ -244,6 +246,15 @@ def build_step_fn(
     multi-pass bf16, the scientific default), 'high', or 'default'
     (single-pass bf16 - fast but ~3 decimal digits; only for throughput
     experiments).
+
+    ``tol``: None (default) runs the branch-free fixed iteration count
+    ``maxit`` - the fastest schedule (no per-iteration global reduction).
+    A float enables the reference's adaptive semantics on device
+    (isospectral.py:440-536): a lax.while_loop exits once the batch-max
+    residual inf-norm ||dW - dW_old||_inf <= tol or stalls (residual
+    non-decreasing after ``minit``), capped at ``maxit``.  Under a mesh the
+    residual max is a global cross-shard reduction (one all-reduce per
+    iteration) inserted by GSPMD.
     """
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     layout = _resolve_layout(N, mesh, layout)
@@ -282,21 +293,48 @@ def build_step_fn(
         def mm(a, b):
             return jnp.matmul(a, b, precision=prec)
 
+    def _iterate(W, dW):
+        Whalf = W + dW
+        Phalf = _poisson_core(
+            Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+            refine=refine, op=op, layout=layout,
+        )
+        Phalf = Phalf * vareps
+        PW = mm(Phalf, Whalf)
+        PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
+        return mm(PW, Phalf) + PWc, PWc
+
     def fixed_point(W, dW):
         def it(k, st):
             dW, _PWc = st
-            Whalf = W + dW
-            Phalf = _poisson_core(
-                Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
-                refine=refine, op=op, layout=layout,
-            )
-            Phalf = Phalf * vareps
-            PW = mm(Phalf, Whalf)
-            PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
-            dW = mm(PW, Phalf) + PWc
-            return (dW, PWc)
+            return _iterate(W, dW)
 
         return lax.fori_loop(0, maxit, it, (dW, jnp.zeros_like(W)))
+
+    def fixed_point_adaptive(W, dW):
+        """Reference tolerance semantics on device: exit on converged or
+        stalled residual (batch-max inf-norm; a global all-reduce per
+        iteration under a mesh), capped at maxit."""
+        tol_j = jnp.asarray(tol, dtype=rdtype)
+        inf = jnp.asarray(np.inf, dtype=rdtype)
+
+        def cond(st):
+            i, _dW, _PWc, rn, rn_old = st
+            done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
+            return (i < maxit) & ~done
+
+        def body(st):
+            i, dW, _PWc, rn, _rn_old = st
+            dW_new, PWc = _iterate(W, dW)
+            rn_new = jnp.max(jnp.abs(dW_new - dW))
+            return (i + 1, dW_new, PWc, rn_new, rn)
+
+        st0 = (jnp.asarray(0, jnp.int32), dW, jnp.zeros_like(W), inf, inf)
+        _, dW, PWc, _, _ = lax.while_loop(cond, body, st0)
+        return dW, PWc
+
+    if tol is not None:
+        fixed_point = fixed_point_adaptive
 
     def step(carry, _):
         W, dW, csum = carry
@@ -361,7 +399,8 @@ class IsompTPU:
     """
 
     def __init__(self, maxit=5, precision="highest", compsum=True, refine=0,
-                 dtype=np.complex64, mesh=None, batched=False):
+                 dtype=np.complex64, mesh=None, batched=False, tol=None,
+                 minit=1):
         self.maxit = maxit
         self.precision = precision
         self.compsum = compsum
@@ -369,6 +408,8 @@ class IsompTPU:
         self.dtype = np.dtype(dtype)
         self.mesh = mesh
         self.batched = batched
+        self.tol = tol
+        self.minit = minit
         self._fns = {}
         self._state = None  # (dW, csum) device planes
         self.stats = {}
@@ -380,6 +421,7 @@ class IsompTPU:
                 N, dt, steps=steps, maxit=self.maxit, dtype=self.dtype,
                 compsum=self.compsum, mesh=self.mesh, batched=self.batched,
                 precision=self.precision, planes_io=True, refine=self.refine,
+                tol=self.tol, minit=self.minit,
             )
         return self._fns[key]
 

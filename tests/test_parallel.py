@@ -233,3 +233,46 @@ def test_stepper_device_diagnostics():
         [float(physics.energy_euler(Wf)), float(physics.enstrophy(Wf))],
         rtol=1e-10,
     )
+
+
+def test_stepper_adaptive_tolerance_matches_isomp():
+    """tol= on the production stepper reproduces the reference's adaptive
+    fixed-point semantics (while_loop with converged/stalled exit) - parity
+    with isomp at the same tol/maxit/minit."""
+    d = np.load("tests/data/oracle.npz")
+    W0 = d["isomp_W0"]
+    dt = qf.hbar(16) * float(d["isomp_stepsize"])
+    fn = build_step_fn(
+        16, dt, steps=50, maxit=10, dtype=np.complex128, compsum=False,
+        planes_io=True, tol=1e-10, minit=1,
+    )
+    Wp = jnp.asarray(to_planes(W0))
+    z = jnp.zeros_like(Wp)
+    out = from_planes(np.asarray(fn(Wp, z, z)[0]))
+    ref = qf.isomp(W0.copy(), dt, 50, tol=1e-10, maxit=10, minit=1)
+    np.testing.assert_allclose(out, ref, atol=1e-13)
+
+
+def test_stepper_adaptive_under_mesh():
+    """Adaptive while_loop composes with the sharded solve (residual is a
+    global cross-shard reduction)."""
+    N = 32
+    mesh = make_mesh(jax.devices(), dp=1)
+    W = rsk(N, seed=9)
+    dt = 0.2 * qf.hbar(N)
+    fn = build_step_fn(
+        N, dt, steps=3, maxit=10, dtype=np.complex128, compsum=False,
+        mesh=mesh, batched=False, planes_io=True, tol=1e-10,
+    )
+    sh = NamedSharding(mesh, P(None, "i", "j"))
+    Wp = jax.device_put(jnp.asarray(to_planes(W)), sh)
+    z = jax.device_put(jnp.zeros_like(Wp), sh)
+    out = from_planes(np.asarray(fn(Wp, z, z)[0]))
+    fn1 = build_step_fn(
+        N, dt, steps=3, maxit=10, dtype=np.complex128, compsum=False,
+        planes_io=True, tol=1e-10,
+    )
+    Wp1 = jnp.asarray(to_planes(W))
+    z1 = jnp.zeros_like(Wp1)
+    ref = from_planes(np.asarray(fn1(Wp1, z1, z1)[0]))
+    np.testing.assert_allclose(out, ref, atol=1e-11)
