@@ -88,10 +88,18 @@ from .integrators import (
     isomp_quasinewton,
     isomp_simple,
     estimate_stepsize,
+    commutator,
+    commutator_generic,
+    commutator_skewherm,
+    euler,
+    heun,
+    rk4,
+    magmp,
+    magmp_fixedpoint,
 )
 from . import io
 from . import physics
-from .physics import energy_euler, enstrophy
+from .physics import energy_euler, enstrophy, inner_H1, inner_Hm1
 from . import analysis
 from .analysis import (
     scale_decomposition,
@@ -105,7 +113,7 @@ from .dynamics import project_el, blob, north_blob
 from . import sim
 from . import simulation  # alias module, reference-compatible name
 from .sim import QuSimulation, create_runfile
-from .sim.solve import solve
+from .sim.solve import solve, in_notebook
 from . import models
 from . import parallel
 from . import graphics

@@ -242,14 +242,29 @@ def laplace(P, skewh=None):
         return np.asarray(_dot_packed_mat(P, op, skewh))
 
 
+def select_first(W):
+    """Reference reduce policy (cpu.py:672-675): pick state (0, ..., 0)."""
+    return np.ascontiguousarray(W[(0,) * (W.ndim - 2)])
+
+
+def select_sum(W):
+    """Reference reduce policy (cpu.py:677-679): sum over stacked states."""
+    return W.sum(axis=tuple(range(W.ndim - 2)))
+
+
 def solve_poisson(W, skewh=None, reduce="first"):
     """Stream matrix P solving Delta_N P = W with the trace bc tr(P)=0.
 
     For stacked states (k, N, N) the reference semantics apply
     (cpu.py:672-734): ``reduce='first'`` solves state 0 and broadcasts,
     ``reduce='sum'`` solves the sum, ``reduce='none'`` solves each state
-    (the TPU-native batched/ensemble path).
+    (the TPU-native batched/ensemble path).  The reference's callable
+    policies ``select_first``/``select_sum`` are accepted as aliases.
     """
+    if callable(reduce):
+        reduce = {select_first: "first", select_sum: "sum"}.get(reduce, reduce)
+    if reduce is None:
+        reduce = "none"
     if _is_dia(W):
         def fel(A):
             el = A.el
@@ -269,6 +284,8 @@ def solve_poisson(W, skewh=None, reduce="first"):
             W0 = W[(0,) * (W.ndim - 2)]
         elif reduce == "sum":
             W0 = W.reshape((-1,) + W.shape[-2:]).sum(axis=0)
+        elif callable(reduce):  # reference-style custom policy W -> (N, N)
+            W0 = np.asarray(reduce(np.asarray(W)))
         else:
             raise ValueError(reduce)
         P0 = _solve_kind(W0, "poisson", (), skewh)

@@ -18,7 +18,19 @@ from ..ops.geometry import hbar
 from ..integrators import isomp
 from .simulation import QuSimulation
 
-__all__ = ["solve"]
+__all__ = ["solve", "in_notebook"]
+
+
+def in_notebook():
+    """True when running under a Jupyter kernel (reference
+    simulation.py:24-33); drives the tqdm frontend choice."""
+    try:
+        from IPython import get_ipython
+
+        ip = get_ipython()
+        return ip is not None and "IPKernelApp" in ip.config
+    except ImportError:
+        return False
 
 
 def solve(

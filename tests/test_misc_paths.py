@@ -98,3 +98,49 @@ def test_qutype_shc_storage(tmpdir):
     sim(W=W, delta_time=0.1)
     shc = sim["shc", -1]
     np.testing.assert_allclose(shc, qf.mat2shc(W), atol=1e-12)
+
+
+def test_reference_top_level_export_surface():
+    """Every name the reference exports from ``quflow`` (its __init__.py
+    star-imports plus named imports) resolves on ``quflow_tpu`` too, so a
+    reference user can switch by changing the import line."""
+    names = [
+        # integrators/__init__.py star-export (reference __init__.py:6)
+        "isomp", "isomp_simple", "isomp_quasinewton", "isomp_fixedpoint",
+        "commutator", "commutator_generic", "commutator_skewherm",
+        "euler", "heun", "rk4", "magmp", "magmp_fixedpoint",
+        # named physics/geometry/analysis exports (__init__.py:10-16)
+        "scale_decomposition", "inner_L2", "norm_L2", "norm_Linf", "norm_L1",
+        "inner_H1", "inner_Hm1", "energy_euler", "enstrophy",
+        # simulation star-export helpers
+        "solve", "QuSimulation", "create_runfile", "in_notebook",
+        # submodule aliases
+        "laplacian", "analysis", "integrators", "geometry", "dynamics",
+        "physics", "utils", "transforms", "io", "graphics",
+    ]
+    missing = [n for n in names if not hasattr(qf, n)]
+    assert not missing, missing
+
+
+def test_reduce_callable_policies():
+    """solve_poisson accepts the reference's callable reduce policies
+    (cpu.py:672-699) as aliases for the string modes."""
+    from quflow_tpu.ops.laplacian import select_first, select_sum
+
+    rng = np.random.RandomState(7)
+    W = rng.randn(3, 16, 16) + 1j * rng.randn(3, 16, 16)
+    W = W - np.conj(np.swapaxes(W, -1, -2))
+    np.testing.assert_array_equal(
+        np.asarray(qf.solve_poisson(W, reduce=select_first)),
+        np.asarray(qf.solve_poisson(W, reduce="first")),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(qf.solve_poisson(W, reduce=select_sum)),
+        np.asarray(qf.solve_poisson(W, reduce="sum")),
+    )
+    # arbitrary callable: reference semantics reduce(W) -> (N, N)
+    np.testing.assert_allclose(
+        np.asarray(qf.solve_poisson(W, reduce=lambda x: x[2]))[0],
+        np.asarray(qf.solve_poisson(W[2], skewh=True)),
+        atol=1e-12,
+    )
