@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Flagship-scale conservation on device: Casimir/energy/enstrophy drift at
+N=1024 over 10k+ steps of the production TPU stepper (c64 planes).
+
+This closes the gap between the N=64 CPU conservation table
+(measured_round1.json) and the N=1024 headline perf claim: the same
+device-resident stepper that produces the steps/s number is driven for
+``--steps`` steps, with the zero-transfer on-device energy/enstrophy
+diagnostics sampled every ``--chunk`` steps, and the Casimir drift
+(spectrum of -iW) measured on host from the final state.
+
+Reference contract: isomp conserves all Casimirs tr(W^k) to machine
+precision (reference integrators/isospectral.py:357-360, Modin & Viviani
+JFM 2020); with compensated summation the rounding growth follows
+Brouwer's law O(sqrt(n)).
+
+Run (device):  timeout 3000 python benchmarks/conservation_device.py
+Writes benchmarks/conservation_1024.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "conservation_1024.json")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--N", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=10000)
+    parser.add_argument("--chunk", type=int, default=500)
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import quflow_tpu as qf
+    from quflow_tpu.models import EulerFlow
+    from quflow_tpu.parallel.stepper import build_step_fn, to_planes, from_planes
+
+    N = args.N
+    flow = EulerFlow(N=N)
+    W0 = flow.random_initial(lmax=10, seed=42)
+    dt = 0.25 * flow.hbar
+    spec0 = np.sort(np.linalg.eigvalsh(-1j * W0))
+    e0 = float(qf.energy_euler(W0))
+    z0 = float(qf.enstrophy(W0))
+
+    # (name, maxit, compsum, refine)
+    configs = [
+        ("c64 compsum maxit5", 5, True, 0),
+        ("c64 compsum maxit10", 10, True, 0),
+        ("c64 compsum+refine maxit5", 5, True, 1),
+        ("c64 plain maxit5", 5, False, 0),
+    ]
+    results = {
+        "config": f"N={N}, dt=0.25*hbar, {args.steps} steps, production "
+                  f"stepper (planes I/O, layout auto, precision highest)",
+        "device": jax.devices()[0].device_kind,
+        "initial": {"energy": e0, "enstrophy": z0},
+        "rows": {},
+    }
+    print(f"N={N}, {args.steps} steps on {results['device']}")
+    print(f"{'config':<28}{'Casimir':>12}{'energy':>12}{'enstrophy':>12}"
+          f"{'series-max dE':>14}{'steps/s':>9}")
+    Wp0 = to_planes(W0.astype(np.complex64)).astype(np.float32)
+    for name, maxit, compsum, refine in configs:
+        fn = build_step_fn(
+            N, dt, steps=args.chunk, maxit=maxit, dtype=np.complex64,
+            compsum=compsum, planes_io=True, refine=refine,
+            with_diagnostics=True,
+        )
+        Wp = jnp.asarray(Wp0)
+        st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
+        series = []
+        t0 = time.time()
+        for _ in range(args.steps // args.chunk):
+            *st, diag = fn(*st)
+            series.append(np.asarray(diag))  # [energy, enstrophy] scalars
+        el = time.time() - t0
+        series = np.asarray(series, dtype=np.float64)
+        Wf = from_planes(np.asarray(st[0])).astype(np.complex128)
+        spec = np.sort(np.linalg.eigvalsh(-1j * Wf))
+        cd = float(np.abs(spec - spec0).max())
+        ed = abs(float(qf.energy_euler(Wf)) - e0)
+        zd = abs(float(qf.enstrophy(Wf)) - z0)
+        # time-resolved drift within the on-device series itself
+        sd = float(np.abs(series[:, 0] - series[0, 0]).max())
+        sps = args.steps / el
+        print(f"{name:<28}{cd:>12.3e}{ed:>12.3e}{zd:>12.3e}{sd:>14.3e}"
+              f"{sps:>9.1f}")
+        results["rows"][name] = {
+            "maxit": maxit, "compsum": compsum, "refine": refine,
+            "casimir_drift": cd, "energy_drift": ed, "enstrophy_drift": zd,
+            "series_max_energy_drift": sd,
+            "energy_series_every_chunk": [round(float(x), 10)
+                                          for x in series[:, 0]],
+            "steps_per_sec": round(sps, 1),
+        }
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+    print(f"written {OUT}")
+
+
+if __name__ == "__main__":
+    main()
