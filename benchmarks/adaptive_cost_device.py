@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Cost of the adaptive (while_loop) fixed point vs the branch-free fixed
+iteration count, on device (VERDICT round-1 item 10).
+
+The reference's isomp exits the fixed-point iteration on a tolerance
+(reference integrators/isospectral.py:440-536); the production TPU stepper
+defaults to a branch-free fixed ``maxit`` (no per-iteration reduction, no
+data-dependent branch in the compiled program).  ``build_step_fn(tol=...)``
+offers the reference semantics on device via lax.while_loop.  This harness
+measures what that convenience costs at flagship scale.
+
+Configs (N=1024, c64 planes, dt=0.25*hbar, smooth random initial data):
+  - fixed maxit=5 (production default)
+  - fixed maxit=10
+  - adaptive tol=auto-equivalent (sqrt(eps_f32)*(dt/hbar)*||W||_inf),
+    maxit=10 - matches the reference's tol='auto' rule for non-compsum
+  - adaptive tol tight (eps_f32*(dt/hbar)*||W||_inf), maxit=10 - the
+    reference's compsum rule
+
+Run (device):  timeout 1800 python benchmarks/adaptive_cost_device.py
+Writes benchmarks/adaptive_cost.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "adaptive_cost.json")
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from quflow_tpu.models import EulerFlow
+    from quflow_tpu.parallel.stepper import build_step_fn, to_planes
+    from quflow_tpu.ops.geometry import hbar
+
+    N = 1024
+    steps = 200
+    flow = EulerFlow(N=N)
+    W0 = flow.random_initial(lmax=10, seed=42)
+    dt = 0.25 * hbar(N)
+    wmax = float(np.abs(W0).max())
+    eps32 = float(np.finfo(np.float32).eps)
+    tol_auto = np.sqrt(eps32) * (dt / hbar(N)) * wmax
+    tol_tight = eps32 * (dt / hbar(N)) * wmax
+
+    cases = [
+        ("fixed maxit=5", dict(maxit=5)),
+        ("fixed maxit=10", dict(maxit=10)),
+        ("adaptive tol=auto (sqrt-eps)", dict(maxit=10, tol=tol_auto)),
+        ("adaptive tol=tight (eps)", dict(maxit=10, tol=tol_tight)),
+    ]
+    results = {
+        "config": f"N={N}, dt=0.25*hbar, {steps} steps/call, c64 planes, "
+                  f"precision highest, compsum, layout auto",
+        "device": jax.devices()[0].device_kind,
+        "tol_auto": tol_auto,
+        "tol_tight": tol_tight,
+        "rows": {},
+    }
+    Wp0 = to_planes(W0.astype(np.complex64)).astype(np.float32)
+    print(f"N={N} on {results['device']}; tol_auto={tol_auto:.3e}")
+    print(f"{'config':<32}{'steps/s':>10}{'ms/step':>10}{'rel cost':>10}")
+    base_sps = None
+    for name, kw in cases:
+        fn = build_step_fn(N, dt, steps=steps, dtype=np.complex64,
+                           compsum=True, planes_io=True, **kw)
+        Wp = jnp.asarray(Wp0)
+        st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
+        st = fn(*st)  # compile + warm (also warms dW for the adaptive exit)
+        jax.block_until_ready(st)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(*st)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+        sps = steps / best
+        if base_sps is None:
+            base_sps = sps
+        rel = base_sps / sps
+        print(f"{name:<32}{sps:>10.1f}{1e3 / sps:>10.3f}{rel:>10.2f}x")
+        results["rows"][name] = {
+            **{k: (float(v) if isinstance(v, float) else v)
+               for k, v in kw.items()},
+            "steps_per_sec": round(sps, 1),
+            "ms_per_step": round(1e3 / sps, 3),
+            "cost_vs_fixed5": round(rel, 3),
+        }
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+    print(f"written {OUT}")
+
+
+if __name__ == "__main__":
+    main()

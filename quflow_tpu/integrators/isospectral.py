@@ -33,6 +33,8 @@ __all__ = [
     "select_skewherm",
     "estimate_stepsize",
     "update_stats",
+    "conj_subtract_",
+    "project_skewherm",
 ]
 
 
@@ -46,6 +48,25 @@ def commutator_skewherm(W, P):
 
 
 commutator = commutator_skewherm
+
+
+def conj_subtract_(A, out=None):
+    """Host helper: ``out = A - A^dagger`` (in-place into ``out``;
+    reference integrators/isospectral.py:66-81 - on device this is a fused
+    XLA expression, see ``commutator_skewherm``)."""
+    A = np.asarray(A)
+    if out is None:
+        out = np.empty_like(A)
+    np.subtract(A, np.conj(np.swapaxes(A, -1, -2)), out=out)
+    return out
+
+
+def project_skewherm(W):
+    """Host helper: project onto skew-Hermitian matrices in place,
+    W <- (W - W^dagger)/2 (reference integrators/isospectral.py:61-63)."""
+    W /= 2.0
+    W -= np.conj(np.swapaxes(W, -1, -2))
+    return W
 
 
 def select_skewherm(flag):
