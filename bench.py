@@ -83,7 +83,9 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
     dt = 0.25 * hbar(N)
     rdtype = np.float32
     wrapped = layout in ("wrapped", "pallas")
-    w, binv, u = _real_factors(N, rdtype, wrapped=wrapped)
+    w, binv, u = _real_factors(
+        N, rdtype, wrapped=wrapped, shear=(layout == "shear")
+    )
     vareps = np.float32(dt / (2.0 * hbar(N)))
     prec = dict(
         highest=lax.Precision.HIGHEST,
@@ -164,7 +166,9 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
         best = min(best, time.time() - t0)
     sec_per_step = max(best - latency, 1e-9) / steps
 
-    reps = 50
+    # enough reps that the chained-solve wall time dwarfs the ~25 ms sync
+    # latency even at small N (at N=512 a solve is ~0.1 ms)
+    reps = max(50, int(2**25 / (N * N // 256)))
     float(poisson_only(Wri, reps))
     t0 = time.time()
     float(poisson_only(Wri, reps))
@@ -183,19 +187,27 @@ def roofline(N, sec_per_step, poisson_ms, precision, maxit=MAXIT):
     # solve bytes per Poisson core: read 2 f32 planes + 3 f32 factor arrays
     # (w, binv, u broadcast over N rows) + write 2 planes, ~N^2 each
     solve_bytes = (2 + 3 + 2) * 4 * N * N
+    measurable = poisson_ms >= 1e-3  # below ~1 us the timing is noise
     return {
         "model_tflops": round(achieved / 1e12, 2),
         "mfu_vs_bf16_peak": round(achieved * passes / peak_bf16, 3),
         "gemm_fraction_of_step": None,  # filled by caller if measured
-        "solve_bw_gbs": round(solve_bytes / (poisson_ms * 1e-3) / 1e9, 1),
-        "solve_bw_util": round(solve_bytes / (poisson_ms * 1e-3) / peak_hbm, 3),
+        "solve_bw_gbs": round(solve_bytes / (poisson_ms * 1e-3) / 1e9, 1)
+        if measurable else None,
+        "solve_bw_util": round(solve_bytes / (poisson_ms * 1e-3) / peak_hbm, 3)
+        if measurable else None,
     }
 
 
-def run_sweep():
-    """Out-of-band sweep: N x layout at scientific precision + roofline."""
+def run_sweep(only=None):
+    """Out-of-band sweep: N x layout at scientific precision + roofline.
+    ``only`` (substring) re-measures matching points, merging into the
+    existing artifact."""
     results = {"config": "c64 planes, maxit=5, compsum, production stepper",
                "device": None, "points": {}}
+    if only and os.path.exists(SWEEP_PATH):
+        with open(SWEEP_PATH) as f:
+            results = json.load(f)
     import jax
 
     results["device"] = jax.devices()[0].device_kind
@@ -208,6 +220,8 @@ def run_sweep():
     for N, prec, steps in cases:
         for layout in ("wrapped", "pallas"):
             key = f"N{N}_{layout}"
+            if only and only not in key:
+                continue
             try:
                 sec, pms = measure_step(N, precision=prec, layout=layout, steps=steps)
             except Exception as exc:  # record and continue the sweep
@@ -294,6 +308,8 @@ def main():
 
 if __name__ == "__main__":
     if "--sweep" in sys.argv:
-        run_sweep()
+        idx = sys.argv.index("--sweep")
+        only = sys.argv[idx + 1] if len(sys.argv) > idx + 1 else None
+        run_sweep(only=only)
     else:
         main()

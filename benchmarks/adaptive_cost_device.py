@@ -52,6 +52,7 @@ def main():
 
     cases = [
         ("fixed maxit=5", dict(maxit=5)),
+        ("fixed maxit=5 refine=1", dict(maxit=5, refine=1)),
         ("fixed maxit=10", dict(maxit=10)),
         ("adaptive tol=auto (sqrt-eps)", dict(maxit=10, tol=tol_auto)),
         ("adaptive tol=tight (eps)", dict(maxit=10, tol=tol_tight)),

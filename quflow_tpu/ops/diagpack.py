@@ -189,6 +189,45 @@ def wrapped2mat(V):
     return _barrel(V, -1)
 
 
+def subtract_col0_mean(d):
+    """Shear-layout trace projection: d[..., :, 0] -= mean(d[..., :, 0])
+    (column 0 holds the main diagonal; masked elementwise form for the same
+    GSPMD reason as subtract_row0_mean)."""
+    N = d.shape[-2]
+    mask0 = np.zeros((1, d.shape[-1]), dtype=bool)
+    mask0[0, 0] = True
+    tr = jnp.sum(jnp.where(mask0, d, 0), axis=(-2, -1), keepdims=True) / N
+    return d - jnp.where(mask0, tr, jnp.zeros_like(tr))
+
+
+def mat2shear(W, tracefree=True):
+    """Shear pack: (..., N, N) -> (..., N, N+1) in ONE relayout copy.
+
+    Row-major-flatten W, append N pad slots, reshape to (N, N+1): column j
+    of the result is [upper diagonal j | lower diagonal N+1-j | pad]
+    (classic shear trick - padding each row by one slot makes diagonals fall
+    into columns).  This replaces the log2(N)-stage barrel-shift pack with a
+    single O(N^2) pass; the solve then scans along axis -2 (positions are
+    consecutive within each column; see ops/tridiag.shear_laplacian)."""
+    *b, N, _ = W.shape
+    flat = jnp.concatenate(
+        [jnp.reshape(W, (*b, N * N)), jnp.zeros((*b, N), W.dtype)], axis=-1
+    )
+    D = jnp.reshape(flat, (*b, N, N + 1))
+    if tracefree:
+        D = subtract_col0_mean(D)
+    return D
+
+
+def shear2mat(D):
+    """Inverse shear pack: (..., N, N+1) -> (..., N, N) (drop the N pad
+    slots off the flattened tail; every matrix element appears exactly once
+    in the shear view)."""
+    *b, N, _ = D.shape
+    flat = jnp.reshape(D, (*b, N * (N + 1)))[..., : N * N]
+    return jnp.reshape(flat, (*b, N, N))
+
+
 def mat2diagh_rolls(W, tracefree=True, pad_rows=0):
     """Scatter-free skewh pack of (..., N, N) -> (..., R + pad_rows, N)."""
     N = W.shape[-1]

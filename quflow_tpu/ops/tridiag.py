@@ -34,6 +34,7 @@ from jax import lax
 
 __all__ = [
     "packed_laplacian",
+    "shear_laplacian",
     "solve_factored",
     "dot_packed",
     "TridiagFactors",
@@ -68,6 +69,52 @@ def packed_laplacian(N, nrows=None, bc=False, dtype=np.float64):
     e2 = (kk + mm) * (m - kk) * kk * (Nf - kk)
     e = np.where(
         i < Nf - m - 1, e1, np.where((i >= Nf - m) & (i < Nf - 1), e2, 0.0)
+    )
+    e = np.sqrt(np.maximum(e, 0.0))
+
+    op = np.stack([d, e], axis=1).astype(dtype)
+    if bc:
+        op[0, 0, 0] -= 0.5
+    return op
+
+
+def shear_laplacian(N, bc=False, dtype=np.float64):
+    """Quantized Laplacian for the *shear* layout, shape (N+1, 2, N).
+
+    The shear pack (ops/diagpack.mat2shear) is a single pad+reshape: column
+    j of the (N, N+1) view holds [upper diagonal j | lower diagonal N+1-j |
+    pad].  System j here is that column read top-to-bottom (length N);
+    ``op[j, 0]`` = main diagonal, ``op[j, 1, i]`` couples slots i and i+1.
+    The junction coupling between the two diagonal segments and the coupling
+    into the trailing pad slot are identically zero (the first naturally:
+    the off-diagonal coefficient of a length-L system vanishes at its end);
+    the pad slot gets main coefficient 1 so the factorization stays regular.
+
+    Same per-diagonal coefficients as :func:`packed_laplacian` (reference
+    laplacian/cpu.py:82-83); only the segment pairing differs (j with N+1-j
+    instead of m with N-m).
+    """
+    j = np.arange(N + 1)[:, None].astype(np.float64)
+    i = np.arange(N)[None, :].astype(np.float64)
+    Nf = float(N)
+
+    in_first = i < Nf - j  # upper diagonal j, position i
+    d1 = -((Nf - 1) * (2 * i + 1 + j) - 2 * i * (i + j))
+    m2 = Nf + 1 - j  # lower diagonal N+1-j, local position k
+    k = i - (Nf - j)
+    d2 = -((Nf - 1) * (2 * k + 1 + m2) - 2 * k * (k + m2))
+    in_second = (i >= Nf - j) & (i < Nf - 1) & (k < j - 1)
+    d = np.where(in_first, d1, np.where(in_second, d2, 1.0))  # pad main = 1
+
+    # coupling at slot i (i <-> i+1): inside segment 1 for i+1 <= N-j-1,
+    # inside segment 2 for local k+1 <= j-2; zero at junction and into pad.
+    e1 = (i + 1 + j) * (Nf - i - 1 - j) * (i + 1) * (Nf - i - 1)
+    kk = k + 1
+    e2 = (kk + m2) * (j - 1 - kk) * kk * (Nf - kk)
+    e = np.where(
+        i < Nf - j - 1,
+        e1,
+        np.where((i >= Nf - j) & (kk < j - 1), e2, 0.0),
     )
     e = np.sqrt(np.maximum(e, 0.0))
 
@@ -117,12 +164,18 @@ def _affine_scan(c, v, axis=-1):
         cq, vq = q
         return cp * cq, cq * vp + vq
 
-    _, y = lax.associative_scan(comb, (c, v), axis=axis)
+    _, y = lax.associative_scan(comb, (c, v), axis=axis % v.ndim)
     return y
 
 
-def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None, base=None):
+def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None, base=None,
+                   axis=-1):
     """Solve op @ x = rhs for batched rhs (..., R, N) (real or complex).
+
+    ``axis`` selects the recurrence direction: -1 (default) for row-major
+    packed layouts (systems along the last axis), -2 for the shear layout
+    (systems along columns; factors and ``op`` pre-transposed to (N, N+1)
+    and (2, N, N+1) respectively).
 
     ``refine`` > 0 applies that many steps of mixed-precision iterative
     refinement x += solve(rhs - op @ x): the residual is evaluated in the
@@ -149,11 +202,12 @@ def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None, base=None):
         def base(d):
             if jnp.iscomplexobj(d):
                 return lax.complex(
-                    _solve_real(w, u, binv, d.real),
-                    _solve_real(w, u, binv, d.imag),
+                    _solve_real(w, u, binv, d.real, axis=axis),
+                    _solve_real(w, u, binv, d.imag, axis=axis),
                 )
-            return _solve_real(w, u, binv, d)
+            return _solve_real(w, u, binv, d, axis=axis)
 
+    dot = dot_packed if axis == -1 else dot_cols
     x = base(rhs)
     if refine:
         opd = jnp.asarray(op if op is not None else fac.op)
@@ -165,23 +219,23 @@ def solve_factored(fac: TridiagFactors, rhs, refine=0, op=None, base=None):
             rhs_re = rhs.real.astype(rd)
             rhs_im = rhs.imag.astype(rd)
             for _ in range(refine):
-                rr = (rhs_re - dot_packed(opd, x.real.astype(rd))).astype(ld)
-                ri = (rhs_im - dot_packed(opd, x.imag.astype(rd))).astype(ld)
+                rr = (rhs_re - dot(opd, x.real.astype(rd))).astype(ld)
+                ri = (rhs_im - dot(opd, x.imag.astype(rd))).astype(ld)
                 x = x + base(lax.complex(rr, ri))
         else:
             rhs_hi = rhs.astype(rd)
             for _ in range(refine):
-                r = rhs_hi - dot_packed(opd, x.astype(rd))
+                r = rhs_hi - dot(opd, x.astype(rd))
                 x = x + base(r.astype(ld))
     return x
 
 
-def _solve_real(w, u, binv, d):
+def _solve_real(w, u, binv, d, axis=-1):
     cfwd = jnp.broadcast_to(-w, d.shape)
-    y = _affine_scan(cfwd, d)
+    y = _affine_scan(cfwd, d, axis=axis)
     g = y * binv
-    cbwd = jnp.broadcast_to(jnp.flip(-u, -1), d.shape)
-    x = jnp.flip(_affine_scan(cbwd, jnp.flip(g, -1)), -1)
+    cbwd = jnp.broadcast_to(jnp.flip(-u, axis), d.shape)
+    x = jnp.flip(_affine_scan(cbwd, jnp.flip(g, axis), axis=axis), axis)
     return x
 
 
@@ -192,4 +246,15 @@ def dot_packed(op, d):
     out = main * d
     out = out.at[..., :, 1:].add(off[:, :-1] * d[..., :, :-1])
     out = out.at[..., :, :-1].add(off[:, :-1] * d[..., :, 1:])
+    return out
+
+
+def dot_cols(op, d):
+    """Apply the shear-layout tridiagonal operator along columns:
+    ``op`` (2, N, N+1) channel-first (main, coupling), d (..., N, N+1)."""
+    main = op[0]
+    off = op[1]
+    out = main * d
+    out = out.at[..., 1:, :].add(off[:-1, :] * d[..., :-1, :])
+    out = out.at[..., :-1, :].add(off[:-1, :] * d[..., 1:, :])
     return out

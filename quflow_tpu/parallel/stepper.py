@@ -24,6 +24,8 @@ path, which also solves Re/Im planes separately (cuda.py:364-418).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,10 +39,13 @@ from ..ops.diagpack import (
     diagh2mat_rolls,
     mat2wrapped,
     wrapped2mat,
+    mat2shear,
+    shear2mat,
+    subtract_col0_mean,
     num_rows,
     subtract_row0_mean,
 )
-from ..ops.tridiag import solve_factored
+from ..ops.tridiag import solve_factored, shear_laplacian, TridiagFactors
 from ..ops.laplacian import _factors
 from ..ops.geometry import hbar
 from .mesh import rows_spec
@@ -119,6 +124,13 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     the ill-conditioned m=0 system)."""
     N = W.shape[-1]
     layout = _resolve_layout(N, mesh, layout)
+    if layout == "shear":
+        d = mat2shear(W, tracefree=True)
+        x = solve_factored(
+            _Fac(w, binv, u), d, refine=refine, op=op, axis=-2
+        )
+        x = subtract_col0_mean(x)
+        return shear2mat(x)
     if layout == "shard":
         fm = flat_mesh_view(mesh)
         dense_spec = P("dp", "tp", None) if batched else P("tp", None)
@@ -155,9 +167,32 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     return Pmat
 
 
-def _real_factors(N, rdtype, pad_rows=0, with_op=False, wrapped=False):
-    fac = _factors(N, not wrapped, "poisson", ())
+@lru_cache(maxsize=32)
+def _shear_factors_cached(N):
+    """Host-prefactorized shear-layout Poisson operator: factors transposed
+    to (N, N+1) for the axis=-2 scan, refinement op channel-first
+    (2, N, N+1) in f64."""
+    op_bc = shear_laplacian(N, bc=True)
+    fac = TridiagFactors(op_bc)
+    # refinement must evaluate residuals of the SAME (bc'd) system the base
+    # solve factorizes, in f64 (see solve_factored)
+    op_cols = np.stack([op_bc[:, 0, :].T, op_bc[:, 1, :].T]).astype(np.float64)
+    return (
+        np.ascontiguousarray(fac.w.T),
+        np.ascontiguousarray(fac.binv.T),
+        np.ascontiguousarray(fac.u.T),
+        op_cols,
+    )
+
+
+def _real_factors(N, rdtype, pad_rows=0, with_op=False, wrapped=False,
+                  shear=False):
     rd = np.dtype(rdtype)
+    if shear:
+        w, binv, u, op = _shear_factors_cached(N)
+        w, binv, u = w.astype(rd), binv.astype(rd), u.astype(rd)
+        return (w, binv, u, op) if with_op else (w, binv, u)
+    fac = _factors(N, not wrapped, "poisson", ())
     w, binv, u = fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
     # the refinement operator stays float64: residuals must be evaluated
     # beyond working precision (elementwise only, cheap even emulated)
@@ -196,7 +231,9 @@ def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=
     layout = _resolve_layout(N, mesh, layout)
     pad = _mesh_pad_rows(N, mesh, layout)
     w, binv, u = _real_factors(
-        N, rdtype, pad_rows=pad, wrapped=(layout in ("wrapped", "shard", "pallas"))
+        N, rdtype, pad_rows=pad,
+        wrapped=(layout in ("wrapped", "shard", "pallas")),
+        shear=(layout == "shear"),
     )
 
     @jax.jit
@@ -270,6 +307,7 @@ def build_step_fn(
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
+        shear=(layout == "shear"),
     )
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(

@@ -1,0 +1,106 @@
+"""Shear solve layout: single pad+reshape pack (columns = diagonals)
+replacing the log2(N)-stage barrel-shift pack.  See
+ops/diagpack.mat2shear and ops/tridiag.shear_laplacian."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quflow_tpu.ops.diagpack import mat2shear, shear2mat, subtract_col0_mean
+from quflow_tpu.ops.tridiag import (
+    shear_laplacian,
+    TridiagFactors,
+    solve_factored,
+    dot_cols,
+)
+from quflow_tpu.ops.laplacian import solve_poisson, laplace
+from quflow_tpu.ops.geometry import hbar
+from quflow_tpu.parallel.stepper import (
+    build_step_fn,
+    build_poisson_fn,
+    to_planes,
+    from_planes,
+)
+
+
+def _rand_skewh(N, seed=0, tracefree=True, dtype=np.complex128):
+    rng = np.random.RandomState(seed)
+    W = rng.randn(N, N) + 1j * rng.randn(N, N)
+    W = W - W.conj().T
+    if tracefree:
+        W = W - np.eye(N) * np.trace(W) / N
+    return W.astype(dtype)
+
+
+@pytest.mark.parametrize("N", [7, 8, 16, 33])
+def test_shear_pack_roundtrip_and_placement(N):
+    rng = np.random.RandomState(0)
+    W = rng.randn(N, N) + 1j * rng.randn(N, N)
+    D = np.asarray(mat2shear(jnp.asarray(W), tracefree=False))
+    assert D.shape == (N, N + 1)
+    # column j = upper diagonal j, then lower diagonal N+1-j
+    for j in (0, 1, N // 2, N - 1, N):
+        upper = np.diagonal(W, j)
+        np.testing.assert_array_equal(D[: N - j, j] if j <= N else [], upper)
+        if j >= 2:
+            lower = np.diagonal(W, -(N + 1 - j))
+            np.testing.assert_array_equal(D[N - j : N - 1, j], lower)
+    np.testing.assert_array_equal(np.asarray(shear2mat(jnp.asarray(D))), W)
+
+
+@pytest.mark.parametrize("N", [8, 9, 16, 33])
+def test_shear_operator_matches_dense_laplace(N):
+    W = _rand_skewh(N, seed=1, tracefree=False)
+    op = shear_laplacian(N)
+    op_cols = np.stack([op[:, 0, :].T, op[:, 1, :].T])
+    D = mat2shear(jnp.asarray(W), tracefree=False)
+    LD = np.asarray(dot_cols(jnp.asarray(op_cols), D))
+    expect = np.asarray(
+        mat2shear(jnp.asarray(np.asarray(laplace(W, skewh=False))), tracefree=False)
+    )
+    # pad slots: main coeff 1, rhs element 0 -> stays 0 on both sides
+    np.testing.assert_allclose(LD, expect, atol=1e-10)
+
+
+@pytest.mark.parametrize("N", [8, 9, 16, 33])
+def test_shear_solve_matches_unified_poisson(N):
+    W = _rand_skewh(N, seed=2)
+    fac_row = TridiagFactors(shear_laplacian(N, bc=True))
+
+    class F:
+        pass
+
+    f = F()
+    f.w, f.binv, f.u, f.op = fac_row.w.T, fac_row.binv.T, fac_row.u.T, None
+    d = mat2shear(jnp.asarray(W), tracefree=True)
+    x = subtract_col0_mean(solve_factored(f, d, axis=-2))
+    P = np.asarray(shear2mat(x))
+    np.testing.assert_allclose(P, np.asarray(solve_poisson(W)), atol=1e-12)
+
+
+@pytest.mark.parametrize("refine", [0, 1])
+def test_shear_step_equals_wrapped_step(refine):
+    N = 48
+    W = _rand_skewh(N, seed=42)
+    dt = 0.25 * hbar(N)
+    outs = {}
+    for layout in ("wrapped", "shear"):
+        fn = build_step_fn(
+            N, dt, steps=10, maxit=5, dtype=np.complex128, compsum=True,
+            planes_io=True, layout=layout, refine=refine,
+        )
+        Wp = jnp.asarray(to_planes(W))
+        st = fn(Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
+        outs[layout] = from_planes(np.asarray(st[0]))
+    np.testing.assert_allclose(outs["shear"], outs["wrapped"], atol=1e-12)
+
+
+def test_shear_poisson_fn_batched():
+    N = 24
+    Ws = np.stack([_rand_skewh(N, seed=s) for s in range(3)])
+    pf_s = build_poisson_fn(N, dtype=np.complex128, layout="shear", batched=True)
+    pf_w = build_poisson_fn(N, dtype=np.complex128, layout="wrapped", batched=True)
+    Wp = jnp.asarray(to_planes(Ws))
+    np.testing.assert_allclose(
+        np.asarray(pf_s(Wp)), np.asarray(pf_w(Wp)), atol=1e-12
+    )
