@@ -77,14 +77,16 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
         to_planes,
         _real_factors,
         _poisson_core,
+        _resolve_layout,
     )
     from quflow_tpu.ops.geometry import hbar
 
     dt = 0.25 * hbar(N)
     rdtype = np.float32
-    wrapped = layout in ("wrapped", "pallas")
+    layout = _resolve_layout(N, None, layout)
     w, binv, u = _real_factors(
-        N, rdtype, wrapped=wrapped, shear=(layout == "shear")
+        N, rdtype, wrapped=(layout in ("wrapped", "pallas")),
+        shear=(layout == "shear"),
     )
     vareps = np.float32(dt / (2.0 * hbar(N)))
     prec = dict(
@@ -218,7 +220,7 @@ def run_sweep(only=None):
         (4096, "highest_karatsuba", 10),
     ]
     for N, prec, steps in cases:
-        for layout in ("wrapped", "pallas"):
+        for layout in ("wrapped", "shear", "pallas"):
             key = f"N{N}_{layout}"
             if only and only not in key:
                 continue
@@ -260,7 +262,7 @@ def main():
             res = measure_step(
                 N_HEADLINE,
                 precision=PRECISION,
-                layout=os.environ.get("QUFLOW_BENCH_LAYOUT", "wrapped"),
+                layout=os.environ.get("QUFLOW_BENCH_LAYOUT", "auto"),
                 steps=int(os.environ.get("QUFLOW_BENCH_STEPS", "100")),
             )
             break

@@ -78,17 +78,21 @@ def _resolve_layout(N, mesh, layout):
     all-to-all per pack - see shard_pack.py) whenever the shard count
     divides N, else the index-map gather/scatter fallback.
 
-    Single chip, layout='auto' (the default): 'wrapped' (all-N-rows barrel
-    pack + scan solve), the fastest device-validated layout.  The round-1
-    wrapped compile-time pathology (105 s at some sizes, commit 915e) is no
-    longer reproducible on this image's XLA - re-measured 64..2048 at
-    1.1-39 s, see docs/DESIGN.md - so wrapped no longer needs per-size
-    opt-in; 'rolls' remains the manual escape hatch and 'pallas' (wrapped
-    pack + fused VMEM Thomas kernel) the opt-in solve for large N."""
+    Single chip, layout='auto' (the default): size-keyed best measured
+    layout - 'shear' (single pad+reshape pack, ops/diagpack.mat2shear) for
+    N >= 2048, 'wrapped' (all-N-rows barrel pack) below.  Device-measured
+    on TPU v5e (full production step, c64): N=1024 wrapped 252.6 vs shear
+    243.9 steps/s; N=2048 shear 43.4 vs wrapped 40.0; N=4096 shear 4.36 vs
+    wrapped 3.38.  The round-1 wrapped compile-time pathology (105 s at
+    some sizes, commit 915e) is no longer reproducible on this image's XLA
+    (re-measured 64..2048 at 1.1-39 s, see docs/DESIGN.md).  'rolls'
+    remains the manual escape hatch and 'pallas' (wrapped pack + fused
+    VMEM Thomas kernel) an opt-in (measured slower end-to-end than
+    wrapped at 1024/2048; fails to compile at 4096)."""
     if mesh is not None:
         return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
     if layout in (None, "auto"):
-        return "wrapped"
+        return "shear" if N >= 2048 else "wrapped"
     return layout
 
 
@@ -297,13 +301,15 @@ def build_step_fn(
     layout = _resolve_layout(N, mesh, layout)
     pad = _mesh_pad_rows(N, mesh, layout)
     if refine is None:
-        # NOTE: naive refinement needs residuals computed beyond working
-        # precision to help (measured: in f32 the residual of the stiff m=0
-        # system is pure cancellation noise and refinement degrades
-        # accuracy), so it stays off by default.  The f32 m=0 solve error is
-        # ~4e-5 relative (vs ~1e-6 for other rows); Casimir conservation is
-        # unaffected (the isospectral update conserves spectra for *any* P).
-        refine = 0
+        # Data-driven default (benchmarks/conservation_1024.json: N=1024,
+        # 10k device steps): ONE f64-residual refinement step in f32 cuts
+        # Casimir drift 38x (1.26e-4 -> 3.3e-6) and enstrophy drift 37x
+        # (4.1e-7 -> 1.1e-8), so it is on by default at f32 working
+        # precision.  Refinement with residuals at *working* precision
+        # would be cancellation noise - solve_factored always evaluates
+        # residuals with the f64 operator (elementwise-only, no matmuls).
+        # In f64 the base solve is already at roundoff; refinement off.
+        refine = 1 if np.dtype(rdtype) == np.float32 else 0
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
@@ -436,7 +442,7 @@ class IsompTPU:
         qf.solve(W0, dt=dt, steps=..., integrator=integrator, callback=sim)
     """
 
-    def __init__(self, maxit=5, precision="highest", compsum=True, refine=0,
+    def __init__(self, maxit=5, precision="highest", compsum=True, refine=None,
                  dtype=np.complex64, mesh=None, batched=False, tol=None,
                  minit=1):
         self.maxit = maxit

@@ -41,3 +41,34 @@ def test_mixed_refinement_recovers_m0():
     # refinement brings row 0 down to the level of the other rows
     assert e1[0] < e0[0] / 10
     assert e1[0] < 10 * e1[1:].max()
+
+
+def test_refine_default_on_for_f32_off_for_f64():
+    """Production default (benchmarks/conservation_1024.json: refine=1 cuts
+    Casimir drift 38x at N=1024/10k steps in f32): f32 steppers refine,
+    f64 steppers do not (base solve already at roundoff)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from quflow_tpu.parallel.stepper import build_step_fn, to_planes, from_planes
+    from quflow_tpu.ops.geometry import hbar
+
+    N = 32
+    rng = np.random.RandomState(3)
+    W = rng.randn(N, N) + 1j * rng.randn(N, N)
+    W = W - W.conj().T
+    W = W - np.eye(N) * np.trace(W) / N
+    dt = 0.25 * hbar(N)
+
+    def run(dtype, refine):
+        fn = build_step_fn(N, dt, steps=5, dtype=dtype, planes_io=True,
+                           refine=refine)
+        rd = np.zeros(1, dtype=dtype).real.dtype
+        Wp = jnp.asarray(to_planes(W.astype(dtype)).astype(rd))
+        st = fn(Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
+        return from_planes(np.asarray(st[0]))
+
+    # f32: default (None) == explicit refine=1, differs from refine=0
+    assert np.array_equal(run(np.complex64, None), run(np.complex64, 1))
+    assert not np.array_equal(run(np.complex64, None), run(np.complex64, 0))
+    # f64: default == refine=0
+    assert np.array_equal(run(np.complex128, None), run(np.complex128, 0))
