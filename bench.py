@@ -67,9 +67,12 @@ def _flops_per_step(N, maxit, precision):
     return maxit * 2 * 8 * N**3
 
 
-def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXIT):
+def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXIT,
+                 refine=0):
     """Sync-amortized steps/s of the production stepper on the default
-    backend.  Returns (sec_per_step, poisson_core_ms)."""
+    backend.  Returns (sec_per_step, poisson_core_ms).  ``refine`` matches
+    build_step_fn's option (production f32 default is 1; see
+    benchmarks/conservation_1024.json)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -84,9 +87,9 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
     dt = 0.25 * hbar(N)
     rdtype = np.float32
     layout = _resolve_layout(N, None, layout)
-    w, binv, u = _real_factors(
+    w, binv, u, op = _real_factors(
         N, rdtype, wrapped=(layout in ("wrapped", "pallas")),
-        shear=(layout == "shear"),
+        shear=(layout == "shear"), with_op=True,
     )
     vareps = np.float32(dt / (2.0 * hbar(N)))
     prec = dict(
@@ -118,7 +121,7 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
             def it(k, st):
                 dW, _ = st
                 Wh = Wc + dW
-                Ph = _poisson_core(Wh, w, binv, u, layout=layout) * vareps
+                Ph = _poisson_core(Wh, w, binv, u, layout=layout, refine=refine, op=op) * vareps
                 PW = mm(Ph, Wh)
                 PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
                 return (mm(PW, Ph) + PWc, PWc)
@@ -139,7 +142,7 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
         W0 = lax.complex(Wri[0], Wri[1])
 
         def body(k, acc):
-            P = _poisson_core(acc, w, binv, u, layout=layout)
+            P = _poisson_core(acc, w, binv, u, layout=layout, refine=refine, op=op)
             return acc + 1e-12 * P  # keep the chain data-dependent
 
         out = lax.fori_loop(0, reps, body, W0)
@@ -205,7 +208,8 @@ def run_sweep(only=None):
     """Out-of-band sweep: N x layout at scientific precision + roofline.
     ``only`` (substring) re-measures matching points, merging into the
     existing artifact."""
-    results = {"config": "c64 planes, maxit=5, compsum, production stepper",
+    results = {"config": "c64 planes, maxit=5, compsum, refine='m0', "
+                         "production stepper",
                "device": None, "points": {}}
     if only and os.path.exists(SWEEP_PATH):
         with open(SWEEP_PATH) as f:
@@ -225,7 +229,8 @@ def run_sweep(only=None):
             if only and only not in key:
                 continue
             try:
-                sec, pms = measure_step(N, precision=prec, layout=layout, steps=steps)
+                sec, pms = measure_step(N, precision=prec, layout=layout,
+                                        steps=steps, refine="m0")
             except Exception as exc:  # record and continue the sweep
                 results["points"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
                 print(f"{key}: FAILED {exc}", file=sys.stderr)
@@ -264,6 +269,12 @@ def main():
                 precision=PRECISION,
                 layout=os.environ.get("QUFLOW_BENCH_LAYOUT", "auto"),
                 steps=int(os.environ.get("QUFLOW_BENCH_STEPS", "100")),
+                # the production f32 default: targeted m=0 f64-residual
+                # refinement (build_step_fn refine=None -> 'm0');
+                # QUFLOW_BENCH_REFINE=0/1/m0 overrides
+                refine=(lambda v: int(v) if v.isdigit() else v)(
+                    os.environ.get("QUFLOW_BENCH_REFINE", "m0")
+                ),
             )
             break
         except Exception as exc:

@@ -72,15 +72,21 @@ def main():
     for name, kw in cases:
         fn = build_step_fn(N, dt, steps=steps, dtype=np.complex64,
                            compsum=True, planes_io=True, **kw)
+
+        def sync(st):
+            # block_until_ready is a no-op through this device tunnel;
+            # force completion with a scalar pull (same as bench.py)
+            return float(jnp.sum(st[0][0, 0, :8]))
+
         Wp = jnp.asarray(Wp0)
         st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
         st = fn(*st)  # compile + warm (also warms dW for the adaptive exit)
-        jax.block_until_ready(st)
+        sync(st)
         best = np.inf
         for _ in range(3):
             t0 = time.time()
             out = fn(*st)
-            jax.block_until_ready(out)
+            sync(out)
             best = min(best, time.time() - t0)
         sps = steps / best
         if base_sps is None:

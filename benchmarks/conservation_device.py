@@ -35,6 +35,9 @@ def main():
     parser.add_argument("--N", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=10000)
     parser.add_argument("--chunk", type=int, default=500)
+    parser.add_argument("--only", default=None,
+                        help="run only configs whose name contains this; "
+                             "merge into the existing artifact")
     args = parser.parse_args()
 
     import numpy as np
@@ -54,6 +57,7 @@ def main():
 
     # (name, maxit, compsum, refine)
     configs = [
+        ("c64 compsum+m0 maxit5", 5, True, "m0"),  # production default
         ("c64 compsum maxit5", 5, True, 0),
         ("c64 compsum maxit10", 10, True, 0),
         ("c64 compsum+refine maxit5", 5, True, 1),
@@ -66,11 +70,17 @@ def main():
         "initial": {"energy": e0, "enstrophy": z0},
         "rows": {},
     }
+    if args.only and os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+        results["device"] = jax.devices()[0].device_kind
     print(f"N={N}, {args.steps} steps on {results['device']}")
     print(f"{'config':<28}{'Casimir':>12}{'energy':>12}{'enstrophy':>12}"
           f"{'series-max dE':>14}{'steps/s':>9}")
     Wp0 = to_planes(W0.astype(np.complex64)).astype(np.float32)
     for name, maxit, compsum, refine in configs:
+        if args.only and args.only not in name:
+            continue
         fn = build_step_fn(
             N, dt, steps=args.chunk, maxit=maxit, dtype=np.complex64,
             compsum=compsum, planes_io=True, refine=refine,

@@ -28,6 +28,8 @@ that SURVEY.md section 7.3 ranks as the top hard part.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
@@ -247,6 +249,76 @@ def dot_packed(op, d):
     out = out.at[..., :, 1:].add(off[:, :-1] * d[..., :, :-1])
     out = out.at[..., :, :-1].add(off[:, :-1] * d[..., :, 1:])
     return out
+
+
+@lru_cache(maxsize=16)
+def _m0_inverse(N):
+    """Dense f32 inverse of the bc'd m=0 (main-diagonal) Poisson system.
+
+    Bounded entries: the trace boundary condition shifts the singular mode
+    to -1/2, so eig(T) <= -1/2 and |T^-1| <= 2.  Used to apply the m=0
+    refinement correction as one (N, N) matvec - a length-N scan solve here
+    costs minutes of XLA compile time (dozens of tiny slice ops), while the
+    matvec is a single cheap MXU op."""
+    opb = shear_laplacian(N, bc=True)
+    main = opb[0, 0, :]
+    off = opb[0, 1, :]
+    T = np.diag(main) + np.diag(off[:-1], 1) + np.diag(off[:-1], -1)
+    return np.linalg.inv(T).astype(np.float32)
+
+
+def refine_m0(x, d, w, binv, u, op, axis):
+    """One f64-residual refinement of the m=0 (main-diagonal) system only.
+
+    The f32 solve error is concentrated in the ill-conditioned m=0 system
+    (~4e-5 relative vs ~1e-6 for the other diagonals); refining just that
+    system is O(N) residual work + one (N, N) matvec instead of a full
+    O(N^2) refinement pass, and recovers the full-array refinement's
+    accuracy (the reference's CUDA f32 path special-cases the same system,
+    cuda.py:457-492).
+
+    ``axis`` = -1: row layouts, system 0 is ``[..., 0, :]``, op (R, 2, N).
+    ``axis`` = -2: shear layout, system 0 is ``[..., :, 0]``, op channel-
+    first (2, N, N+1).  The m=0 coefficients are identical in every layout
+    (it is the same main-diagonal system), so the cached inverse is shared.
+    """
+    if axis == -1:
+        x0, d0 = x[..., 0, :], d[..., 0, :]
+        main = jnp.asarray(op[0, 0, :])
+        off = jnp.asarray(op[0, 1, :])
+    else:
+        x0, d0 = x[..., :, 0], d[..., :, 0]
+        main = jnp.asarray(op[0, :, 0])
+        off = jnp.asarray(op[1, :, 0])
+
+    ld = x0.real.dtype
+    rd = main.dtype  # f64 host constants
+    inv = jnp.asarray(_m0_inverse(x0.shape[-1]), dtype=ld)
+
+    def channel(xc, dc):
+        xh = xc.astype(rd)
+        r = dc.astype(rd) - main * xh
+        r = r.at[..., 1:].add(-off[:-1] * xh[..., :-1])
+        r = r.at[..., :-1].add(-off[:-1] * xh[..., 1:])
+        r = r.astype(ld)
+        return jnp.matmul(r, inv.T, precision=lax.Precision.HIGHEST)
+
+    if jnp.iscomplexobj(x0):
+        corr = lax.complex(
+            channel(x0.real, d0.real), channel(x0.imag, d0.imag)
+        )
+    else:
+        corr = channel(x0, d0)
+
+    # masked write-back (scatters at constant index mispartition under
+    # GSPMD when the packed axis is sharded; see diagpack.subtract_row0_mean)
+    if axis == -1:
+        mask = np.zeros((x.shape[-2], 1), dtype=bool)
+        mask[0] = True
+        return x + jnp.where(mask, corr[..., None, :], jnp.zeros((), x.dtype))
+    mask = np.zeros((1, x.shape[-1]), dtype=bool)
+    mask[0, 0] = True
+    return x + jnp.where(mask, corr[..., :, None], jnp.zeros((), x.dtype))
 
 
 def dot_cols(op, d):

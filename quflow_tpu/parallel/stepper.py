@@ -45,7 +45,12 @@ from ..ops.diagpack import (
     num_rows,
     subtract_row0_mean,
 )
-from ..ops.tridiag import solve_factored, shear_laplacian, TridiagFactors
+from ..ops.tridiag import (
+    solve_factored,
+    shear_laplacian,
+    TridiagFactors,
+    refine_m0,
+)
 from ..ops.laplacian import _factors
 from ..ops.geometry import hbar
 from .mesh import rows_spec
@@ -78,21 +83,18 @@ def _resolve_layout(N, mesh, layout):
     all-to-all per pack - see shard_pack.py) whenever the shard count
     divides N, else the index-map gather/scatter fallback.
 
-    Single chip, layout='auto' (the default): size-keyed best measured
-    layout - 'shear' (single pad+reshape pack, ops/diagpack.mat2shear) for
-    N >= 2048, 'wrapped' (all-N-rows barrel pack) below.  Device-measured
-    on TPU v5e (full production step, c64): N=1024 wrapped 252.6 vs shear
-    243.9 steps/s; N=2048 shear 43.4 vs wrapped 40.0; N=4096 shear 4.36 vs
-    wrapped 3.38.  The round-1 wrapped compile-time pathology (105 s at
-    some sizes, commit 915e) is no longer reproducible on this image's XLA
-    (re-measured 64..2048 at 1.1-39 s, see docs/DESIGN.md).  'rolls'
-    remains the manual escape hatch and 'pallas' (wrapped pack + fused
-    VMEM Thomas kernel) an opt-in (measured slower end-to-end than
+    Single chip, layout='auto' (the default): 'shear' (single pad+reshape
+    pack, ops/diagpack.mat2shear) - fastest measured at every size on TPU
+    v5e (full production step, c64, benchmarks/sweep_round2.json): N=512
+    1365 vs 1283 wrapped steps/s; N=1024 303.5 vs 250.9; N=2048 43.2 vs
+    40.1; N=4096 4.36 vs 3.38.  'wrapped' (all-N-rows barrel pack) and
+    'rolls' remain manual escape hatches; 'pallas' (wrapped pack + fused
+    VMEM Thomas kernel) is an opt-in (measured slower end-to-end than
     wrapped at 1024/2048; fails to compile at 4096)."""
     if mesh is not None:
         return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
     if layout in (None, "auto"):
-        return "shear" if N >= 2048 else "wrapped"
+        return "shear"
     return layout
 
 
@@ -124,15 +126,25 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     * 'scatter'  - index-map gather/scatter mesh fallback (shard count
       does not divide N).
 
-    ``refine``: iterative-refinement steps (recommended 1 in float32 for
-    the ill-conditioned m=0 system)."""
+    ``refine``: 'm0' (f32 production default) applies one f64-residual
+    refinement to the ill-conditioned m=0 system only - O(N) work for
+    nearly the accuracy of full refinement (the f32 error concentrates
+    there; same specialization as the reference's CUDA f32 path,
+    cuda.py:457-492).  An int applies that many full-array refinement
+    steps (O(N^2) f64-residual passes; ~1.6x step cost at N=1024)."""
     N = W.shape[-1]
     layout = _resolve_layout(N, mesh, layout)
+    m0_only = refine == "m0"
+    if m0_only and op is None:
+        raise ValueError("refine='m0' requires the f64 operator (op=...)")
+    refine_full = 0 if m0_only else refine
     if layout == "shear":
         d = mat2shear(W, tracefree=True)
         x = solve_factored(
-            _Fac(w, binv, u), d, refine=refine, op=op, axis=-2
+            _Fac(w, binv, u), d, refine=refine_full, op=op, axis=-2
         )
+        if m0_only:
+            x = refine_m0(x, d, w, binv, u, op, axis=-2)
         x = subtract_col0_mean(x)
         return shear2mat(x)
     if layout == "shard":
@@ -140,7 +152,9 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         dense_spec = P("dp", "tp", None) if batched else P("tp", None)
         W = lax.with_sharding_constraint(W, NamedSharding(fm, dense_spec))
         d = subtract_row0_mean(pack_wrapped_sharded(W, mesh, batched=batched))
-        x = solve_factored(_Fac(w, binv, u), d, refine=refine, op=op)
+        x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op)
+        if m0_only:
+            x = refine_m0(x, d, w, binv, u, op, axis=-1)
         x = subtract_row0_mean(x)
         Pmat = unpack_wrapped_sharded(x, mesh, batched=batched)
         return lax.with_sharding_constraint(Pmat, NamedSharding(fm, dense_spec))
@@ -157,7 +171,9 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         from ..ops.pallas_solve import pallas_base
 
         base = pallas_base(w, binv, u)
-    x = solve_factored(_Fac(w, binv, u), d, refine=refine, op=op, base=base)
+    x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op, base=base)
+    if m0_only:
+        x = refine_m0(x, d, w, binv, u, op, axis=-1)
     x = subtract_row0_mean(x)
     if layout in ("wrapped", "pallas"):
         Pmat = wrapped2mat(x)
@@ -302,14 +318,15 @@ def build_step_fn(
     pad = _mesh_pad_rows(N, mesh, layout)
     if refine is None:
         # Data-driven default (benchmarks/conservation_1024.json: N=1024,
-        # 10k device steps): ONE f64-residual refinement step in f32 cuts
-        # Casimir drift 38x (1.26e-4 -> 3.3e-6) and enstrophy drift 37x
-        # (4.1e-7 -> 1.1e-8), so it is on by default at f32 working
-        # precision.  Refinement with residuals at *working* precision
-        # would be cancellation noise - solve_factored always evaluates
-        # residuals with the f64 operator (elementwise-only, no matmuls).
-        # In f64 the base solve is already at roundoff; refinement off.
-        refine = 1 if np.dtype(rdtype) == np.float32 else 0
+        # 10k device steps): f64-residual refinement in f32 cuts Casimir
+        # drift 38x (1.26e-4 -> 3.3e-6) and enstrophy drift 37x
+        # (4.1e-7 -> 1.1e-8).  The f32 solve error concentrates in the
+        # ill-conditioned m=0 system, so the default refines only that
+        # system ('m0'): O(N) work, measured cost ~0 vs 1.6x for the
+        # full-array refine=1.  Residuals always use the f64 operator
+        # (working-precision residuals are cancellation noise).  In f64
+        # the base solve is already at roundoff; refinement off.
+        refine = "m0" if np.dtype(rdtype) == np.float32 else 0
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
         wrapped=(layout in ("wrapped", "shard", "pallas")),

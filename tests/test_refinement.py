@@ -44,9 +44,11 @@ def test_mixed_refinement_recovers_m0():
 
 
 def test_refine_default_on_for_f32_off_for_f64():
-    """Production default (benchmarks/conservation_1024.json: refine=1 cuts
-    Casimir drift 38x at N=1024/10k steps in f32): f32 steppers refine,
-    f64 steppers do not (base solve already at roundoff)."""
+    """Production default (benchmarks/conservation_1024.json: f64-residual
+    refinement cuts Casimir drift 38x at N=1024/10k steps in f32): f32
+    steppers refine the m=0 system ('m0', O(N) targeted refinement with
+    accuracy equal to the full-array refine=1 - the f32 error concentrates
+    there), f64 steppers do not (base solve already at roundoff)."""
     import numpy as np
     import jax.numpy as jnp
     from quflow_tpu.parallel.stepper import build_step_fn, to_planes, from_planes
@@ -67,8 +69,37 @@ def test_refine_default_on_for_f32_off_for_f64():
         st = fn(Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
         return from_planes(np.asarray(st[0]))
 
-    # f32: default (None) == explicit refine=1, differs from refine=0
-    assert np.array_equal(run(np.complex64, None), run(np.complex64, 1))
+    # f32: default (None) == explicit refine='m0', differs from refine=0
+    assert np.array_equal(run(np.complex64, None), run(np.complex64, "m0"))
     assert not np.array_equal(run(np.complex64, None), run(np.complex64, 0))
     # f64: default == refine=0
     assert np.array_equal(run(np.complex128, None), run(np.complex128, 0))
+
+
+def test_refine_m0_matches_full_refinement_accuracy():
+    """Targeted m=0 refinement recovers the same accuracy as full-array
+    refinement: the f32 solve error is concentrated in the m=0 system
+    (reference's CUDA f32 path special-cases it, cuda.py:457-492)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import quflow_tpu as qf
+    from quflow_tpu.parallel.stepper import _real_factors, _poisson_core
+
+    N = 128
+    rng = np.random.RandomState(5)
+    W = qf.shr2mat(rng.randn(N**2), N=N)
+    Pex = np.asarray(qf.solve_poisson(W))  # f64 exact
+
+    w32, b32, u32, op = _real_factors(N, np.float32, with_op=True, shear=True)
+    Wc = jnp.asarray(W.astype(np.complex64))
+
+    def err(refine):
+        P = np.asarray(
+            _poisson_core(Wc, w32, b32, u32, layout="shear", refine=refine,
+                          op=op)
+        ).astype(np.complex128)
+        return np.abs(P - Pex).max()
+
+    e0, em0, e1 = err(0), err("m0"), err(1)
+    assert em0 < e0 / 3  # targeted refinement clearly helps
+    assert em0 <= 1.5 * e1  # ... and matches full refinement
