@@ -511,9 +511,12 @@ class IsompTPU:
 # ---------------------------------------------------------------------------
 
 def _laplace_core(P, op, layout="wrapped"):
-    """Apply the quantized Laplacian in the fast layout (bc=False operator)."""
-    from ..ops.tridiag import dot_packed
+    """Apply the quantized Laplacian in the fast layout (bc=False operator;
+    for 'shear' pass the channel-first (2, N, N+1) operator)."""
+    from ..ops.tridiag import dot_packed, dot_cols
 
+    if layout == "shear":
+        return shear2mat(dot_cols(op, mat2shear(P, tracefree=False)))
     if layout == "wrapped":
         d = mat2wrapped(P, tracefree=False)
         return wrapped2mat(dot_packed(op, d))
@@ -529,19 +532,25 @@ def build_mhd_step_fn(
     dtype=np.complex64,
     precision="highest",
     planes_io=True,
-    layout="rolls",
+    layout="auto",
 ):
     """Jitted multi-step magnetic-midpoint runner on the two-component state
     (W, Theta); planes I/O shape (2, 2, N, N) = (re/im, component, N, N).
     Returns fn(Sri, dSri) -> (Sri, dSri)."""
     rdtype = np.zeros(1, dtype=dtype).real.dtype
+    layout = _resolve_layout(N, None, layout)
     wrapped = layout == "wrapped"
-    w, binv, u = _real_factors(N, rdtype, wrapped=wrapped)
+    w, binv, u = _real_factors(N, rdtype, wrapped=wrapped,
+                               shear=(layout == "shear"))
     from ..ops.tridiag import packed_laplacian
 
-    lap_op = packed_laplacian(
-        N, nrows=(N if wrapped else num_rows(N, True)), bc=False
-    ).astype(rdtype)
+    if layout == "shear":
+        opn = shear_laplacian(N, bc=False)
+        lap_op = np.stack([opn[:, 0, :].T, opn[:, 1, :].T]).astype(rdtype)
+    else:
+        lap_op = packed_laplacian(
+            N, nrows=(N if wrapped else num_rows(N, True)), bc=False
+        ).astype(rdtype)
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(
         highest=lax.Precision.HIGHEST,
