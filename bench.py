@@ -241,6 +241,10 @@ def run_sweep(only=None):
                 "poisson_core_ms": round(pms, 3),
             }
             entry.update(roofline(N, sec, pms, prec))
+            # maxit poisson cores per step; the rest is the GEMM phase
+            entry["gemm_fraction_of_step"] = round(
+                max(0.0, 1.0 - MAXIT * pms * 1e-3 / sec), 3
+            )
             results["points"][key] = entry
             print(f"{key}: {entry}", file=sys.stderr)
     os.makedirs(os.path.dirname(SWEEP_PATH), exist_ok=True)

@@ -104,3 +104,28 @@ def test_shear_poisson_fn_batched():
     np.testing.assert_allclose(
         np.asarray(pf_s(Wp)), np.asarray(pf_w(Wp)), atol=1e-12
     )
+
+
+def test_mhd_stepper_shear_equals_rolls():
+    """build_mhd_step_fn with the auto (shear) layout matches the rolls
+    layout (two-component state, laplace + poisson cores)."""
+    from quflow_tpu.parallel.stepper import build_mhd_step_fn
+
+    N = 32
+    rng = np.random.RandomState(7)
+
+    def skewh(seed):
+        A = rng.randn(N, N) + 1j * rng.randn(N, N)
+        A = A - A.conj().T
+        return A - np.eye(N) * np.trace(A) / N
+
+    S = np.stack([skewh(0), 0.1 * skewh(1)]).astype(np.complex128)
+    dt = 0.25 * hbar(N)
+    outs = {}
+    for layout in ("rolls", "auto"):
+        fn = build_mhd_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex128,
+                               planes_io=True, layout=layout)
+        Sp = jnp.asarray(np.stack([S.real, S.imag]))
+        st = fn(Sp, jnp.zeros_like(Sp))
+        outs[layout] = np.asarray(st[0])
+    np.testing.assert_allclose(outs["auto"], outs["rolls"], atol=1e-12)
