@@ -229,14 +229,21 @@ def run_sweep(only=None):
             if only and only not in key:
                 continue
             try:
+                # production config for the production layout; the
+                # alternative layouts are compared at their best config
+                # (refine=0 - the m0 write-back interacts badly with the
+                # barrel-unpack fusion on row layouts: 0.29 -> 5.36 ms
+                # poisson at N=1024)
                 sec, pms = measure_step(N, precision=prec, layout=layout,
-                                        steps=steps, refine="m0")
+                                        steps=steps,
+                                        refine="m0" if layout == "shear" else 0)
             except Exception as exc:  # record and continue the sweep
                 results["points"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
                 print(f"{key}: FAILED {exc}", file=sys.stderr)
                 continue
             entry = {
                 "precision": prec,
+                "refine": "m0" if layout == "shear" else 0,
                 "steps_per_sec": round(1.0 / sec, 2),
                 "poisson_core_ms": round(pms, 3),
             }
@@ -247,6 +254,11 @@ def run_sweep(only=None):
             )
             results["points"][key] = entry
             print(f"{key}: {entry}", file=sys.stderr)
+            # write after every point: a watchdog kill must not lose the
+            # measurements already taken
+            os.makedirs(os.path.dirname(SWEEP_PATH), exist_ok=True)
+            with open(SWEEP_PATH, "w") as f:
+                json.dump(results, f, indent=2)
     os.makedirs(os.path.dirname(SWEEP_PATH), exist_ok=True)
     with open(SWEEP_PATH, "w") as f:
         json.dump(results, f, indent=2)

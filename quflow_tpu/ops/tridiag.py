@@ -252,19 +252,34 @@ def dot_packed(op, d):
 
 
 @lru_cache(maxsize=16)
-def _m0_inverse(N):
-    """Dense f32 inverse of the bc'd m=0 (main-diagonal) Poisson system.
+def _m0_semisep(N):
+    """Semiseparable factors (u, v) of the bc'd m=0 Poisson system inverse:
+    T^-1[i, j] = u_j v_i for j <= i and u_i v_j for j > i (any tridiagonal
+    inverse has this structure).  Obtained from two O(N) banded solves
+    (first/last columns of T^-1), scale-balanced; entries are O(1) - the
+    trace bc caps the spectrum at -1/2.  The refinement correction
+    T^-1 @ r then costs two cumsums + elementwise, with two length-N
+    constants: a dense inverse here (67 MB at N=4096) overflows the
+    compile-request size limit of remote-compile tunnels, and a scan solve
+    costs minutes of compile time."""
+    from scipy.linalg import solve_banded
 
-    Bounded entries: the trace boundary condition shifts the singular mode
-    to -1/2, so eig(T) <= -1/2 and |T^-1| <= 2.  Used to apply the m=0
-    refinement correction as one (N, N) matvec - a length-N scan solve here
-    costs minutes of XLA compile time (dozens of tiny slice ops), while the
-    matvec is a single cheap MXU op."""
     opb = shear_laplacian(N, bc=True)
     main = opb[0, 0, :]
     off = opb[0, 1, :]
-    T = np.diag(main) + np.diag(off[:-1], 1) + np.diag(off[:-1], -1)
-    return np.linalg.inv(T).astype(np.float32)
+    ab = np.zeros((3, N))
+    ab[0, 1:] = off[:-1]
+    ab[1] = main
+    ab[2, :-1] = off[:-1]
+    eL = np.zeros(N)
+    eL[-1] = 1.0
+    e0 = np.zeros(N)
+    e0[0] = 1.0
+    u = solve_banded((1, 1), ab, eL)          # G[:, -1] = u_i * v_{N-1}
+    v = solve_banded((1, 1), ab, e0)          # G[:, 0] = G[0, :] (symmetry)
+    v = v / v[-1]                             # now u_i * v_j = G_ij, j >= i
+    s = np.sqrt(np.abs(u).max() / np.abs(v).max())
+    return (u / s).astype(np.float32), (v * s).astype(np.float32)
 
 
 def refine_m0(x, d, w, binv, u, op, axis):
@@ -293,7 +308,9 @@ def refine_m0(x, d, w, binv, u, op, axis):
 
     ld = x0.real.dtype
     rd = main.dtype  # f64 host constants
-    inv = jnp.asarray(_m0_inverse(x0.shape[-1]), dtype=ld)
+    uu, vv = _m0_semisep(x0.shape[-1])
+    uu = jnp.asarray(uu, dtype=ld)
+    vv = jnp.asarray(vv, dtype=ld)
 
     def channel(xc, dc):
         xh = xc.astype(rd)
@@ -301,7 +318,11 @@ def refine_m0(x, d, w, binv, u, op, axis):
         r = r.at[..., 1:].add(-off[:-1] * xh[..., :-1])
         r = r.at[..., :-1].add(-off[:-1] * xh[..., 1:])
         r = r.astype(ld)
-        return jnp.matmul(r, inv.T, precision=lax.Precision.HIGHEST)
+        # T^-1 @ r via the semiseparable form: corr_i =
+        #   v_i * sum_{j<=i} u_j r_j + u_i * sum_{j>i} v_j r_j
+        c1 = jnp.cumsum(uu * r, axis=-1)
+        c2 = jnp.cumsum(vv * r, axis=-1)
+        return vv * c1 + uu * (c2[..., -1:] - c2)
 
     if jnp.iscomplexobj(x0):
         corr = lax.complex(

@@ -154,7 +154,12 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         d = subtract_row0_mean(pack_wrapped_sharded(W, mesh, batched=batched))
         x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op)
         if m0_only:
-            x = refine_m0(x, d, w, binv, u, op, axis=-1)
+            # barrier: without it XLA fuses the corrected scan output into
+            # every unpack stage, recomputing the solve ~log2(N) times
+            # (measured 0.29 -> 5.36 ms poisson at N=1024 on the wrapped
+            # row layout; the shear reshape unpack is immune)
+            x = lax.optimization_barrier(refine_m0(x, d, w, binv, u, op,
+                                                   axis=-1))
         x = subtract_row0_mean(x)
         Pmat = unpack_wrapped_sharded(x, mesh, batched=batched)
         return lax.with_sharding_constraint(Pmat, NamedSharding(fm, dense_spec))
@@ -173,7 +178,8 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         base = pallas_base(w, binv, u)
     x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op, base=base)
     if m0_only:
-        x = refine_m0(x, d, w, binv, u, op, axis=-1)
+        # same fusion-duplication hazard as the shard path (see above)
+        x = lax.optimization_barrier(refine_m0(x, d, w, binv, u, op, axis=-1))
     x = subtract_row0_mean(x)
     if layout in ("wrapped", "pallas"):
         Pmat = wrapped2mat(x)
