@@ -154,10 +154,11 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         d = subtract_row0_mean(pack_wrapped_sharded(W, mesh, batched=batched))
         x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op)
         if m0_only:
-            # barrier: without it XLA fuses the corrected scan output into
-            # every unpack stage, recomputing the solve ~log2(N) times
-            # (measured 0.29 -> 5.36 ms poisson at N=1024 on the wrapped
-            # row layout; the shear reshape unpack is immune)
+            # NOTE: on the scan-solve row layouts the m0 correction
+            # triggers an XLA pathology (0.29 -> 5.36 ms poisson at N=1024,
+            # measured to persist even with this barrier; the shear and
+            # pallas paths are unaffected).  The production layout is
+            # shear; row layouts are escape hatches best used refine=0.
             x = lax.optimization_barrier(refine_m0(x, d, w, binv, u, op,
                                                    axis=-1))
         x = subtract_row0_mean(x)
@@ -178,7 +179,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         base = pallas_base(w, binv, u)
     x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op, base=base)
     if m0_only:
-        # same fusion-duplication hazard as the shard path (see above)
+        # same scan-row-layout pathology hazard as the shard path (see NOTE)
         x = lax.optimization_barrier(refine_m0(x, d, w, binv, u, op, axis=-1))
     x = subtract_row0_mean(x)
     if layout in ("wrapped", "pallas"):
