@@ -60,13 +60,18 @@ def main():
 
         st = fn(*st)
         sync(st)
+        # latency floor of a scalar pull through the device tunnel
+        t0 = time.time()
+        for _ in range(3):
+            sync(st)
+        latency = (time.time() - t0) / 3
         best = np.inf
         for _ in range(3):
             t0 = time.time()
             out = fn(*st)
             sync(out)
             best = min(best, time.time() - t0)
-        agg = batch * steps / best
+        agg = batch * steps / max(best - latency, 1e-9)
         per = agg / batch
         if base is None:
             base = agg

@@ -73,7 +73,7 @@ def main():
         W = rng.randn(N, N) + 1j * rng.randn(N, N)
         W = (W - W.conj().T).astype(cdtype)
         Wri = jnp.asarray(to_planes(W).astype(rdtype))
-        w, binv, u = _real_factors(N, rdtype)
+        w, binv, u = _real_factors(N, rdtype, shear=True)
         vareps = rdtype(0.125)
 
         def chain(body):
@@ -96,7 +96,8 @@ def main():
             chain(lambda Wc, x: (lambda PW: (PW - jnp.conj(PW.T)) / rdtype(60.0))(
                 jnp.matmul(Wc, x, precision=lax.Precision.HIGHEST))), reps)
         t_poi, _ = timed_scalar(
-            chain(lambda Wc, x: _poisson_core(x, w, binv, u) + Wc * rdtype(0.0)), reps)
+            chain(lambda Wc, x: _poisson_core(x, w, binv, u, layout="shear")
+                  + Wc * rdtype(0.0)), reps)
 
         @jax.jit
         def inner_run():
@@ -114,7 +115,7 @@ def main():
             def it(k, st):
                 dW, _ = st
                 Wh = x + dW
-                Ph = _poisson_core(Wh, w, binv, u) * vareps
+                Ph = _poisson_core(Wh, w, binv, u, layout="shear") * vareps
                 PW = jnp.matmul(Ph, Wh, precision=lax.Precision.HIGHEST)
                 PWc = PW - jnp.conj(PW.T)
                 return (jnp.matmul(PW, Ph, precision=lax.Precision.HIGHEST) + PWc, PWc)

@@ -40,7 +40,11 @@ from .ops.geometry import (
     cartesian_generators,
     grad,
 )
-from .ops import laplacian
+# the compat subpackage re-exports the unified backend AND the reference's
+# per-backend module paths; binding it here keeps qf.laplacian stable no
+# matter what gets imported first (a bare `from .ops import laplacian`
+# would be silently rebound by any `import quflow_tpu.laplacian`)
+from . import laplacian
 from .ops.laplacian import (
     laplace,
     solve_poisson,

@@ -43,10 +43,15 @@ else:
 # ``precision=`` arguments (the production stepper's knob) still override.
 # This also avoids the TPU runtime's unimplemented default-precision complex
 # matmul path for device-resident c64 state.
-jax.config.update(
-    "jax_default_matmul_precision",
-    os.environ.get("QUFLOW_TPU_MATMUL_PRECISION", "highest"),
-)
+# Respect an explicit user choice (flag env or prior config) - only
+# install our default when none is set.  NOTE this IS a process-global
+# side effect: unrelated JAX code in the same process will also run its
+# bare matmuls f32-accurate.  Opt out with QUFLOW_TPU_MATMUL_PRECISION=default.
+if os.environ.get("JAX_DEFAULT_MATMUL_PRECISION") is None:
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("QUFLOW_TPU_MATMUL_PRECISION", "highest"),
+    )
 
 import numpy as _np
 

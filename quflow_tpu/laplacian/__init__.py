@@ -26,6 +26,8 @@ from ..ops.laplacian import (
     solve_viscdamp,
     solve_globalqg,
     select_skewherm,
+    select_first,
+    select_sum,
 )
 
 from . import tridiagonal, cpu, direct, sparse, gpu
@@ -33,6 +35,8 @@ from . import tridiagonal, cpu, direct, sparse, gpu
 __all__ = [
     "laplacian",
     "laplace",
+    "select_first",
+    "select_sum",
     "solve_poisson",
     "solve_heat",
     "solve_helmholtz",

@@ -36,6 +36,8 @@ __all__ = [
     "solve_viscdamp",
     "solve_globalqg",
     "select_skewherm",
+    "select_first",
+    "select_sum",
 ]
 
 
@@ -285,7 +287,10 @@ def solve_poisson(W, skewh=None, reduce="first"):
         elif reduce == "sum":
             W0 = W.reshape((-1,) + W.shape[-2:]).sum(axis=0)
         elif callable(reduce):  # reference-style custom policy W -> (N, N)
-            W0 = np.asarray(reduce(np.asarray(W)))
+            # stay traceable/device-resident: no host conversion (np.asarray
+            # of a tracer raises, and complex device->host transfers are
+            # unimplemented on this TPU runtime)
+            W0 = reduce(W)
         else:
             raise ValueError(reduce)
         P0 = _solve_kind(W0, "poisson", (), skewh)

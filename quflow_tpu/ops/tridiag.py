@@ -282,7 +282,7 @@ def _m0_semisep(N):
     return (u / s).astype(np.float32), (v * s).astype(np.float32)
 
 
-def refine_m0(x, d, w, binv, u, op, axis):
+def refine_m0(x, d, op, axis):
     """One f64-residual refinement of the m=0 (main-diagonal) system only.
 
     The f32 solve error is concentrated in the ill-conditioned m=0 system
@@ -295,7 +295,7 @@ def refine_m0(x, d, w, binv, u, op, axis):
     ``axis`` = -1: row layouts, system 0 is ``[..., 0, :]``, op (R, 2, N).
     ``axis`` = -2: shear layout, system 0 is ``[..., :, 0]``, op channel-
     first (2, N, N+1).  The m=0 coefficients are identical in every layout
-    (it is the same main-diagonal system), so the cached inverse is shared.
+    (it is the same main-diagonal system), so the cached factors are shared.
     """
     if axis == -1:
         x0, d0 = x[..., 0, :], d[..., 0, :]

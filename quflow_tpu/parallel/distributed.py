@@ -90,13 +90,18 @@ def save_checkpoint(path, state, step=0):
 def load_checkpoint(path, like, step=0):
     """Load a checkpoint saved by save_checkpoint; ``like`` is a pytree of
     abstract or concrete arrays fixing structure/sharding."""
+    # orbax first: an npz of the same step may be a stale single-host
+    # fallback written before orbax became available
+    orbax_dir = os.path.abspath(f"{path}/step_{step}")
+    if os.path.isdir(orbax_dir):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(orbax_dir, like)
     npz = os.path.join(path, f"step_{step}.npz")
     if os.path.exists(npz):  # written by the single-host fallback
         data = np.load(npz)
         flat, treedef = jax.tree.flatten(like)
         arrs = [data[f"arr_{i}"] for i in range(len(flat))]
         return jax.tree.unflatten(treedef, arrs)
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(f"{path}/step_{step}"), like)
+    raise FileNotFoundError(f"no checkpoint for step {step} under {path}")

@@ -144,7 +144,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
             _Fac(w, binv, u), d, refine=refine_full, op=op, axis=-2
         )
         if m0_only:
-            x = refine_m0(x, d, w, binv, u, op, axis=-2)
+            x = refine_m0(x, d, op, axis=-2)
         x = subtract_col0_mean(x)
         return shear2mat(x)
     if layout == "shard":
@@ -159,8 +159,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
             # measured to persist even with this barrier; the shear and
             # pallas paths are unaffected).  The production layout is
             # shear; row layouts are escape hatches best used refine=0.
-            x = lax.optimization_barrier(refine_m0(x, d, w, binv, u, op,
-                                                   axis=-1))
+            x = lax.optimization_barrier(refine_m0(x, d, op, axis=-1))
         x = subtract_row0_mean(x)
         Pmat = unpack_wrapped_sharded(x, mesh, batched=batched)
         return lax.with_sharding_constraint(Pmat, NamedSharding(fm, dense_spec))
@@ -180,7 +179,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op, base=base)
     if m0_only:
         # same scan-row-layout pathology hazard as the shard path (see NOTE)
-        x = lax.optimization_barrier(refine_m0(x, d, w, binv, u, op, axis=-1))
+        x = lax.optimization_barrier(refine_m0(x, d, op, axis=-1))
     x = subtract_row0_mean(x)
     if layout in ("wrapped", "pallas"):
         Pmat = wrapped2mat(x)
@@ -505,7 +504,11 @@ class IsompTPU:
         self._state = (dW, csum)
         out = from_planes(np.asarray(Wp)).astype(W_in.dtype)
         if stats is not None:
-            stats["iterations"] = float(self.maxit)
+            if self.tol is None:
+                stats["iterations"] = float(self.maxit)  # branch-free: exact
+            # adaptive mode: the device while_loop's true iteration count is
+            # not observable without a transfer; report the cap only.
+            stats["maxit"] = float(self.maxit)
         if isinstance(W, np.ndarray) and W.flags.writeable:
             np.copyto(W, out)
             return W
@@ -524,7 +527,7 @@ def _laplace_core(P, op, layout="wrapped"):
 
     if layout == "shear":
         return shear2mat(dot_cols(op, mat2shear(P, tracefree=False)))
-    if layout == "wrapped":
+    if layout in ("wrapped", "pallas"):
         d = mat2wrapped(P, tracefree=False)
         return wrapped2mat(dot_packed(op, d))
     d = mat2diagh(P, skewh=True, tracefree=False)
@@ -546,7 +549,7 @@ def build_mhd_step_fn(
     Returns fn(Sri, dSri) -> (Sri, dSri)."""
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     layout = _resolve_layout(N, None, layout)
-    wrapped = layout == "wrapped"
+    wrapped = layout in ("wrapped", "pallas")
     w, binv, u = _real_factors(N, rdtype, wrapped=wrapped,
                                shear=(layout == "shear"))
     from ..ops.tridiag import packed_laplacian
@@ -555,6 +558,7 @@ def build_mhd_step_fn(
         opn = shear_laplacian(N, bc=False)
         lap_op = np.stack([opn[:, 0, :].T, opn[:, 1, :].T]).astype(rdtype)
     else:
+        # wrapped AND pallas use the all-N-rows wrapped pack
         lap_op = packed_laplacian(
             N, nrows=(N if wrapped else num_rows(N, True)), bc=False
         ).astype(rdtype)

@@ -154,7 +154,12 @@ def forward(f, L=None, Spin=0, Method="MW", Reality=False):
     f = np.asarray(f)
     if L is None:
         L = f.shape[0]
-    analysis, _ = _grid_fns("mw" if Method in ("MW", "MW_pole") else Method)
+    if Method == "MW_pole":
+        raise NotImplementedError(
+            "Method='MW_pole' ((L+1, 2L-1) sampling) is not supported; "
+            "resample to MW or GL first"
+        )
+    analysis, _ = _grid_fns(Method)
     return analysis(f, L, reality=Reality)
 
 
@@ -165,7 +170,12 @@ def inverse(flm, L=None, Spin=0, Method="MW", Reality=False):
     flm = np.asarray(flm)
     if L is None:
         L = int(round(np.sqrt(flm.shape[0])))
-    _, synthesis = _grid_fns("mw" if Method in ("MW", "MW_pole") else Method)
+    if Method == "MW_pole":
+        raise NotImplementedError(
+            "Method='MW_pole' ((L+1, 2L-1) sampling) is not supported; "
+            "resample to MW or GL first"
+        )
+    _, synthesis = _grid_fns(Method)
     return synthesis(flm, L, reality=Reality)
 
 

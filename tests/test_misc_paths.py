@@ -144,3 +144,24 @@ def test_reduce_callable_policies():
         np.asarray(qf.solve_poisson(W[2], skewh=True)),
         atol=1e-12,
     )
+
+
+def test_solve_poisson_callable_reduce_traceable():
+    """A custom reduce policy must stay jit-traceable and device-resident
+    (no host np.asarray: tracers raise and complex device->host transfers
+    are unimplemented on this TPU runtime)."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 12
+    rng = np.random.RandomState(3)
+    W = rng.randn(3, N, N) + 1j * rng.randn(3, N, N)
+    W = W - np.conj(np.swapaxes(W, -1, -2))
+
+    @jax.jit
+    def f(Ws):
+        return qf.solve_poisson(Ws, reduce=lambda x: x[2], skewh=True)
+
+    got = np.asarray(f(jnp.asarray(W)))[0]
+    expect = np.asarray(qf.solve_poisson(W[2]))
+    np.testing.assert_allclose(got, expect, atol=1e-12)

@@ -129,3 +129,32 @@ def test_mhd_stepper_shear_equals_rolls():
         st = fn(Sp, jnp.zeros_like(Sp))
         outs[layout] = np.asarray(st[0])
     np.testing.assert_allclose(outs["auto"], outs["rolls"], atol=1e-12)
+
+
+def test_mhd_stepper_pallas_equals_rolls():
+    """layout='pallas' in the MHD stepper must pair the all-N-rows wrapped
+    factors with the wrapped pack (a mismatch silently produced garbage:
+    rolls-shaped factors are zero-padded to the kernel tile instead of
+    raising).  Stable normalized state, interpret-mode kernel on CPU."""
+    from quflow_tpu.parallel.stepper import build_mhd_step_fn
+
+    N = 32
+    rng = np.random.RandomState(7)
+
+    def skewh(scale):
+        A = rng.randn(N, N) + 1j * rng.randn(N, N)
+        A = A - A.conj().T
+        A = A - np.eye(N) * np.trace(A) / N
+        return scale * A / np.abs(np.linalg.eigvalsh(-1j * A)).max()
+
+    S = np.stack([skewh(1.0), skewh(0.1)]).astype(np.complex128)
+    dt = 0.25 * hbar(N)
+    outs = {}
+    for layout in ("rolls", "pallas"):
+        fn = build_mhd_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex128,
+                               planes_io=True, layout=layout)
+        Sp = jnp.asarray(np.stack([S.real, S.imag]))
+        st = fn(Sp, jnp.zeros_like(Sp))
+        outs[layout] = np.asarray(st[0])
+        assert np.isfinite(outs[layout]).all(), layout
+    np.testing.assert_allclose(outs["pallas"], outs["rolls"], atol=1e-11)
