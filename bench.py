@@ -89,7 +89,7 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
     layout = _resolve_layout(N, None, layout)
     w, binv, u, op = _real_factors(
         N, rdtype, wrapped=(layout in ("wrapped", "pallas")),
-        shear=(layout == "shear"), with_op=True,
+        shear=(layout in ("shear", "shear_pallas")), with_op=True,
     )
     vareps = np.float32(dt / (2.0 * hbar(N)))
     prec = dict(
@@ -234,16 +234,16 @@ def run_sweep(only=None):
                 # (refine=0 - the m0 write-back interacts badly with the
                 # barrel-unpack fusion on row layouts: 0.29 -> 5.36 ms
                 # poisson at N=1024)
-                sec, pms = measure_step(N, precision=prec, layout=layout,
-                                        steps=steps,
-                                        refine="m0" if layout == "shear" else 0)
+                sec, pms = measure_step(
+                    N, precision=prec, layout=layout, steps=steps,
+                    refine="m0" if layout.startswith("shear") else 0)
             except Exception as exc:  # record and continue the sweep
                 results["points"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
                 print(f"{key}: FAILED {exc}", file=sys.stderr)
                 continue
             entry = {
                 "precision": prec,
-                "refine": "m0" if layout == "shear" else 0,
+                "refine": "m0" if layout.startswith("shear") else 0,
                 "steps_per_sec": round(1.0 / sec, 2),
                 "poisson_core_ms": round(pms, 3),
             }

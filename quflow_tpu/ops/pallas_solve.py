@@ -26,7 +26,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["solve_factored_pallas", "pallas_base", "pad_cols"]
+__all__ = ["solve_factored_pallas", "pallas_base", "pallas_base_cols", "pad_cols"]
 
 
 def pad_cols(R, tile):
@@ -121,6 +121,150 @@ def solve_factored_pallas(w, binv, u, d_planes, tile=128, interpret=False):
     xT = _solve_T(wT, binvT, uT, dT, tile=tile, interpret=interpret)
     x = jnp.swapaxes(xT, 1, 2)[:, :R, :]
     return x
+
+
+def _fwd_chunk_kernel(w_ref, d_ref, y_ref, carry):
+    """One (CH, T) chunk of the forward elimination y_i = d_i - w_i y_{i-1};
+    ``carry`` persists y across the sequential chunk grid dimension and is
+    reset at chunk 0 (w[0] = 0 makes the first step exact with carry 0)."""
+    CH = d_ref.shape[0]
+    i32 = jnp.int32
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        carry[0, :] = jnp.zeros_like(carry[0, :])
+
+    def body(i, y_prev):
+        y = d_ref[i, :] - w_ref[i, :] * y_prev
+        y_ref[i, :] = y
+        return y
+
+    last = lax.fori_loop(i32(0), i32(CH), body, carry[0, :])
+    carry[0, :] = last
+
+
+def _bwd_chunk_kernel(binv_ref, u_ref, y_ref, x_ref, carry):
+    """One (CH, T) chunk of back substitution x_i = y_i binv_i - u_i x_{i+1},
+    chunks visited in reverse; u[N-1] = 0 makes the first step exact with
+    carry 0."""
+    CH = y_ref.shape[0]
+    i32 = jnp.int32
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        carry[0, :] = jnp.zeros_like(carry[0, :])
+
+    def body(i, x_next):
+        k = i32(CH - 1) - i
+        x = y_ref[k, :] * binv_ref[k, :] - u_ref[k, :] * x_next
+        x_ref[k, :] = x
+        return x
+
+    last = lax.fori_loop(i32(0), i32(CH), body, carry[0, :])
+    carry[0, :] = last
+
+
+@partial(jax.jit, static_argnames=("tile", "chunk", "interpret"))
+def _solve_T_chunked(wT, binvT, uT, dT, tile=256, chunk=512, interpret=False):
+    """Chunked variant of :func:`_solve_T` for large N: VMEM holds only a
+    (chunk, tile) window per array, with the recurrence carry in persistent
+    scratch across the sequential chunk grid axis.  Two pallas calls
+    (forward, then backward over reversed chunks); the eliminated rhs makes
+    one HBM round trip - total traffic stays O(N^2) where the
+    associative-scan solver pays O(N^2 log N)."""
+    C, N, Rp = dT.shape
+    K = N // chunk
+    grid = (C, Rp // tile, K)
+    dt = dT.dtype
+
+    spec_f = pl.BlockSpec(
+        (chunk, tile), lambda c, r, k: (k, r), memory_space=pltpu.VMEM
+    )
+    spec_d = pl.BlockSpec(
+        (None, chunk, tile), lambda c, r, k: (c, k, r), memory_space=pltpu.VMEM
+    )
+    scratch = [pltpu.VMEM((1, tile), dt)]
+    seq = ("arbitrary", "arbitrary", "arbitrary")
+
+    y = pl.pallas_call(
+        _fwd_chunk_kernel,
+        out_shape=jax.ShapeDtypeStruct(dT.shape, dt),
+        grid=grid,
+        in_specs=[spec_f, spec_d],
+        out_specs=spec_d,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=seq),
+    )(wT, dT)
+
+    rev_f = pl.BlockSpec(
+        (chunk, tile), lambda c, r, k: (K - 1 - k, r), memory_space=pltpu.VMEM
+    )
+    rev_d = pl.BlockSpec(
+        (None, chunk, tile), lambda c, r, k: (c, K - 1 - k, r),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _bwd_chunk_kernel,
+        out_shape=jax.ShapeDtypeStruct(dT.shape, dt),
+        grid=grid,
+        in_specs=[rev_f, rev_f, rev_d],
+        out_specs=rev_d,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=seq),
+    )(binvT, uT, y)
+
+
+def pallas_base_cols(w, binv, u, tile=None, interpret=False):
+    """Base solver for the *shear* layout: rhs (..., N, M) with the
+    recurrence along axis -2 and the M systems across lanes - already the
+    kernel's native orientation, so unlike :func:`pallas_base` (row
+    layouts) no transposes are needed.  ``w``/``binv``/``u`` are the
+    (N, M) column-transposed factors (stepper._shear_factors_cached)."""
+    import os
+
+    interpret = interpret or jax.default_backend() != "tpu"
+    N, M = np.shape(w)
+    if tile is None:
+        tile = int(os.environ.get("QUFLOW_PALLAS_TILE",
+                                  "128" if N <= 2048 else "512"))
+    # the monolithic kernel holds 5 (N, tile) blocks double-buffered in
+    # VMEM - past N=2048 that overflows ~16 MB, so switch to the chunked
+    # two-kernel pipeline (fixed (chunk, tile) windows, carry in scratch)
+    chunked = N > 2048
+    chunk = int(os.environ.get("QUFLOW_PALLAS_CHUNK", "512"))
+    chunk = chunk if chunked and N % chunk == 0 else N
+    pad = pad_cols(M, tile)
+    wn = np.asarray(w)
+    bn = np.asarray(binv)
+    un = np.asarray(u)
+    if pad:
+        wn = np.concatenate([wn, np.zeros((N, pad), wn.dtype)], axis=1)
+        bn = np.concatenate([bn, np.ones((N, pad), bn.dtype)], axis=1)
+        un = np.concatenate([un, np.zeros((N, pad), un.dtype)], axis=1)
+
+    def base(d):
+        cplx = jnp.iscomplexobj(d)
+        planes = jnp.stack([d.real, d.imag]) if cplx else d[None]
+        lead = planes.shape[:-2]
+        flat = planes.reshape((int(np.prod(lead)), N, M))
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
+        dt = flat.dtype
+        args = (
+            jnp.asarray(wn, dt), jnp.asarray(bn, dt), jnp.asarray(un, dt),
+            flat,
+        )
+        if chunked:
+            xT = _solve_T_chunked(*args, tile=tile, chunk=chunk,
+                                  interpret=interpret)
+        else:
+            xT = _solve_T(*args, tile=tile, interpret=interpret)
+        x = xT[..., :M].reshape(lead + (N, M))
+        return lax.complex(x[0], x[1]) if cplx else x[0]
+
+    return base
 
 
 def pallas_base(w, binv, u, tile=128, interpret=False):

@@ -84,17 +84,20 @@ def _resolve_layout(N, mesh, layout):
     divides N, else the index-map gather/scatter fallback.
 
     Single chip, layout='auto' (the default): 'shear' (single pad+reshape
-    pack, ops/diagpack.mat2shear) - fastest measured at every size on TPU
+    pack, ops/diagpack.mat2shear) - fastest measured at N <= 2048 on TPU
     v5e (full production step, c64, benchmarks/sweep_round2.json): N=512
-    1365 vs 1283 wrapped steps/s; N=1024 303.5 vs 250.9; N=2048 43.2 vs
-    40.1; N=4096 4.36 vs 3.38.  'wrapped' (all-N-rows barrel pack) and
-    'rolls' remain manual escape hatches; 'pallas' (wrapped pack + fused
-    VMEM Thomas kernel) is an opt-in (measured slower end-to-end than
-    wrapped at 1024/2048; fails to compile at 4096)."""
+    1295.6 steps/s; N=1024 301.6 (vs wrapped 250.9, wrapped-pallas 229.6);
+    N=2048 43.0.  At N >= 4096 the associative scan's O(N^2 log N) traffic
+    loses to the chunked Pallas Thomas pipeline, so auto picks
+    'shear_pallas' (shear pack + chunked VMEM serial-Thomas kernel,
+    ops/pallas_solve._solve_T_chunked, tile=512/chunk=512): 5.08 vs
+    4.34 steps/s at N=4096 (poisson core 10.8 vs 14.2 ms).
+    'wrapped' (all-N-rows barrel pack), 'rolls', and 'pallas' (wrapped pack
+    + monolithic kernel) remain manual escape hatches."""
     if mesh is not None:
         return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
     if layout in (None, "auto"):
-        return "shear"
+        return "shear_pallas" if N >= 4096 else "shear"
     return layout
 
 
@@ -138,10 +141,16 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     if m0_only and op is None:
         raise ValueError("refine='m0' requires the f64 operator (op=...)")
     refine_full = 0 if m0_only else refine
-    if layout == "shear":
+    if layout in ("shear", "shear_pallas"):
         d = mat2shear(W, tracefree=True)
+        base = None
+        if layout == "shear_pallas":
+            from ..ops.pallas_solve import pallas_base_cols
+
+            base = pallas_base_cols(w, binv, u)
         x = solve_factored(
-            _Fac(w, binv, u), d, refine=refine_full, op=op, axis=-2
+            _Fac(w, binv, u), d, refine=refine_full, op=op, axis=-2,
+            base=base,
         )
         if m0_only:
             x = refine_m0(x, d, op, axis=-2)
@@ -259,7 +268,7 @@ def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=
     w, binv, u = _real_factors(
         N, rdtype, pad_rows=pad,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
-        shear=(layout == "shear"),
+        shear=(layout in ("shear", "shear_pallas")),
     )
 
     @jax.jit
@@ -336,7 +345,7 @@ def build_step_fn(
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
-        shear=(layout == "shear"),
+        shear=(layout in ("shear", "shear_pallas")),
     )
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(
@@ -525,7 +534,7 @@ def _laplace_core(P, op, layout="wrapped"):
     for 'shear' pass the channel-first (2, N, N+1) operator)."""
     from ..ops.tridiag import dot_packed, dot_cols
 
-    if layout == "shear":
+    if layout in ("shear", "shear_pallas"):
         return shear2mat(dot_cols(op, mat2shear(P, tracefree=False)))
     if layout in ("wrapped", "pallas"):
         d = mat2wrapped(P, tracefree=False)
@@ -551,10 +560,10 @@ def build_mhd_step_fn(
     layout = _resolve_layout(N, None, layout)
     wrapped = layout in ("wrapped", "pallas")
     w, binv, u = _real_factors(N, rdtype, wrapped=wrapped,
-                               shear=(layout == "shear"))
+                               shear=(layout in ("shear", "shear_pallas")))
     from ..ops.tridiag import packed_laplacian
 
-    if layout == "shear":
+    if layout in ("shear", "shear_pallas"):
         opn = shear_laplacian(N, bc=False)
         lap_op = np.stack([opn[:, 0, :].T, opn[:, 1, :].T]).astype(rdtype)
     else:

@@ -59,3 +59,36 @@ def test_pallas_layout_refine():
     Pref = np.asarray(_poisson_core(jnp.asarray(W.astype(np.complex128)),
                                     w2, binv2, u2, layout="wrapped"))
     assert np.abs(Pp - Pref).max() < 5e-6
+
+
+def test_chunked_solver_matches_monolithic():
+    """The chunked two-kernel pipeline (used for N > 2048, where the
+    monolithic kernel's VMEM blocks overflow) must reproduce the monolithic
+    kernel exactly: same recurrence, carry threaded through scratch."""
+    import numpy as np
+    import jax.numpy as jnp
+    from quflow_tpu.ops.pallas_solve import _solve_T, _solve_T_chunked, pad_cols
+    from quflow_tpu.parallel.stepper import _shear_factors_cached
+
+    N = 256
+    w, binv, u, _op = _shear_factors_cached(N)
+    rng = np.random.RandomState(0)
+    tile = 128
+    pad = pad_cols(N + 1, tile)
+
+    def padf(f, fill):
+        return np.concatenate(
+            [f.astype(np.float32), np.full((N, pad), fill, np.float32)], axis=1
+        )
+
+    wp, bp, up = padf(w, 0.0), padf(binv, 1.0), padf(u, 0.0)
+    d = rng.randn(2, N, N + 1 + pad).astype(np.float32)
+    x_mono = _solve_T(
+        jnp.asarray(wp), jnp.asarray(bp), jnp.asarray(up), jnp.asarray(d),
+        tile=tile, interpret=True,
+    )
+    x_chunk = _solve_T_chunked(
+        jnp.asarray(wp), jnp.asarray(bp), jnp.asarray(up), jnp.asarray(d),
+        tile=tile, chunk=64, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(x_mono), np.asarray(x_chunk))
