@@ -221,12 +221,31 @@ def _shear_factors_cached(N):
 
 
 def _real_factors(N, rdtype, pad_rows=0, with_op=False, wrapped=False,
-                  shear=False):
+                  shear=False, device=True):
+    """Prefactorized Poisson operator arrays for the stepper.
+
+    With ``device`` (default) the factors are returned as jax device
+    arrays: closed over by a jitted program they become runtime parameters
+    instead of embedded HLO literals.  The literals scale O(N^2) - the f64
+    refinement operator alone is 268 MB at N=8192 - and oversized programs
+    break the remote-compile transport of tunneled TPU runtimes (HTTP 413 /
+    broken pipe, observed at N=4096/8192).  ``device=False`` keeps host
+    numpy (needed when factors are constructed *inside* a jit trace, e.g.
+    the operator registry path - device_put there would leak tracers).
+    """
+    out = _real_factors_host(N, rdtype, pad_rows, with_op, wrapped, shear)
+    if device:
+        out = tuple(jnp.asarray(a) if a is not None else None for a in out)
+    return out if with_op else out[:3]
+
+
+def _real_factors_host(N, rdtype, pad_rows=0, with_op=False, wrapped=False,
+                       shear=False):
     rd = np.dtype(rdtype)
     if shear:
         w, binv, u, op = _shear_factors_cached(N)
         w, binv, u = w.astype(rd), binv.astype(rd), u.astype(rd)
-        return (w, binv, u, op) if with_op else (w, binv, u)
+        return (w, binv, u, op if with_op else None)
     fac = _factors(N, not wrapped, "poisson", ())
     w, binv, u = fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
     # the refinement operator stays float64: residuals must be evaluated
@@ -241,9 +260,7 @@ def _real_factors(N, rdtype, pad_rows=0, with_op=False, wrapped=False,
             pad_op = np.zeros((pad_rows, 2, Npts), np.float64)
             pad_op[:, 0, :] = 1.0
             op = np.concatenate([op, pad_op], axis=0)
-    if with_op:
-        return w, binv, u, op
-    return w, binv, u
+    return w, binv, u, op
 
 
 def to_planes(W):
