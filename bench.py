@@ -22,6 +22,7 @@ see benchmarks/cpu_baseline.py), measured once on this host and cached.
 
 import json
 import os
+from functools import partial
 import sys
 import time
 
@@ -111,8 +112,10 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
         def mm(a, b):
             return jnp.matmul(a, b, precision=prec)
 
-    @jax.jit
-    def run(Wri):
+    # factors as jit ARGUMENTS (not closures): closed-over arrays inline
+    # as HLO literals and oversized programs break tunneled remote-compile
+    @partial(jax.jit, static_argnames=())
+    def run_(w_, binv_, u_, op_, Wri):
         W0 = lax.complex(Wri[0], Wri[1])
 
         def step(carry, _):
@@ -121,7 +124,8 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
             def it(k, st):
                 dW, _ = st
                 Wh = Wc + dW
-                Ph = _poisson_core(Wh, w, binv, u, layout=layout, refine=refine, op=op) * vareps
+                Ph = _poisson_core(Wh, w_, binv_, u_, layout=layout,
+                                   refine=refine, op=op_) * vareps
                 PW = mm(Ph, Wh)
                 PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
                 return (mm(PW, Ph) + PWc, PWc)
@@ -137,16 +141,23 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
         (Wc, _, _), _ = lax.scan(step, (W0, z, z), None, length=steps)
         return jnp.abs(Wc).mean()
 
+    def run(Wri):
+        return run_(w, binv, u, op, Wri)
+
     @jax.jit
-    def poisson_only(Wri, reps):
+    def poisson_only_(w_, binv_, u_, op_, Wri, reps):
         W0 = lax.complex(Wri[0], Wri[1])
 
         def body(k, acc):
-            P = _poisson_core(acc, w, binv, u, layout=layout, refine=refine, op=op)
+            P = _poisson_core(acc, w_, binv_, u_, layout=layout,
+                              refine=refine, op=op_)
             return acc + 1e-12 * P  # keep the chain data-dependent
 
         out = lax.fori_loop(0, reps, body, W0)
         return jnp.abs(out).mean()
+
+    def poisson_only(Wri, reps):
+        return poisson_only_(w, binv, u, op, Wri, reps)
 
     rng = np.random.RandomState(42)
     W = rng.randn(N, N) + 1j * rng.randn(N, N)
@@ -224,7 +235,10 @@ def run_sweep(only=None):
         (4096, "highest_karatsuba", 10),
     ]
     for N, prec, steps in cases:
-        for layout in ("wrapped", "shear", "pallas"):
+        layouts = ("wrapped", "shear", "pallas")
+        if N >= 4096:
+            layouts = layouts + ("shear_pallas",)
+        for layout in layouts:
             key = f"N{N}_{layout}"
             if only and only not in key:
                 continue

@@ -26,8 +26,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "conservation_1024.json")
+def _out_path(N):
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"conservation_{N}.json")
 
 
 def main():
@@ -48,6 +49,7 @@ def main():
     from quflow_tpu.parallel.stepper import build_step_fn, to_planes, from_planes
 
     N = args.N
+    out_path = _out_path(N)
     flow = EulerFlow(N=N)
     W0 = flow.random_initial(lmax=10, seed=42)
     dt = 0.25 * flow.hbar
@@ -70,8 +72,8 @@ def main():
         "initial": {"energy": e0, "enstrophy": z0},
         "rows": {},
     }
-    if args.only and os.path.exists(OUT):
-        with open(OUT) as f:
+    if args.only and os.path.exists(out_path):
+        with open(out_path) as f:
             results = json.load(f)
         results["device"] = jax.devices()[0].device_kind
     print(f"N={N}, {args.steps} steps on {results['device']}")
@@ -113,9 +115,9 @@ def main():
                                           for x in series[:, 0]],
             "steps_per_sec": round(sps, 1),
         }
-        with open(OUT, "w") as f:
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
-    print(f"written {OUT}")
+    print(f"written {out_path}")
 
 
 if __name__ == "__main__":

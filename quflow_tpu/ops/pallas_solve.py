@@ -234,15 +234,25 @@ def pallas_base_cols(w, binv, u, tile=None, interpret=False):
     # two-kernel pipeline (fixed (chunk, tile) windows, carry in scratch)
     chunked = N > 2048
     chunk = int(os.environ.get("QUFLOW_PALLAS_CHUNK", "512"))
-    chunk = chunk if chunked and N % chunk == 0 else N
+    if chunked and N % chunk != 0:
+        # largest divisor of N not exceeding the requested chunk: falling
+        # back to chunk=N would re-create the VMEM overflow this pipeline
+        # exists to avoid
+        chunk = max(c for c in range(1, chunk + 1) if N % c == 0)
+    elif not chunked:
+        chunk = N
+    # keep the factors jax-resident: converting to host numpy and back
+    # inside the traced base would re-embed three O(N^2) literals in the
+    # HLO, breaking the remote-compile transport at large N (the failure
+    # the runtime-parameter factors exist to fix)
+    wn = jnp.asarray(w)
+    bn = jnp.asarray(binv)
+    un = jnp.asarray(u)
     pad = pad_cols(M, tile)
-    wn = np.asarray(w)
-    bn = np.asarray(binv)
-    un = np.asarray(u)
     if pad:
-        wn = np.concatenate([wn, np.zeros((N, pad), wn.dtype)], axis=1)
-        bn = np.concatenate([bn, np.ones((N, pad), bn.dtype)], axis=1)
-        un = np.concatenate([un, np.zeros((N, pad), un.dtype)], axis=1)
+        wn = jnp.concatenate([wn, jnp.zeros((N, pad), wn.dtype)], axis=1)
+        bn = jnp.concatenate([bn, jnp.ones((N, pad), bn.dtype)], axis=1)
+        un = jnp.concatenate([un, jnp.zeros((N, pad), un.dtype)], axis=1)
 
     def base(d):
         cplx = jnp.iscomplexobj(d)
@@ -253,7 +263,7 @@ def pallas_base_cols(w, binv, u, tile=None, interpret=False):
             flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
         dt = flat.dtype
         args = (
-            jnp.asarray(wn, dt), jnp.asarray(bn, dt), jnp.asarray(un, dt),
+            wn.astype(dt), bn.astype(dt), un.astype(dt),
             flat,
         )
         if chunked:

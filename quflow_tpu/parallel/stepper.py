@@ -97,7 +97,12 @@ def _resolve_layout(N, mesh, layout):
     if mesh is not None:
         return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
     if layout in (None, "auto"):
-        return "shear_pallas" if N >= 4096 else "shear"
+        # the kernel crossover is a TPU measurement; off-TPU the Pallas
+        # path would run in the (very slow) interpreter, so auto never
+        # picks it there
+        if N >= 4096 and jax.default_backend() == "tpu":
+            return "shear_pallas"
+        return "shear"
     return layout
 
 
@@ -288,19 +293,26 @@ def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=
         shear=(layout in ("shear", "shear_pallas")),
     )
 
+    # factors enter as jit ARGUMENTS: this jax version inlines closed-over
+    # device arrays as HLO literals (measured: a 4096 program serializes at
+    # ~200 MB either way), and oversized compile requests break tunneled
+    # remote-compile (HTTP 413).  As traced parameters they never enter
+    # the serialized program.
     @jax.jit
-    def poisson_planes(Wri):
+    def poisson_planes(w_, binv_, u_, Wri):
         W = lax.complex(Wri[0], Wri[1])
-        Pm = _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
-                           layout=layout)
+        Pm = _poisson_core(W, w_, binv_, u_, mesh=mesh, batched=batched,
+                           pad_rows=pad, layout=layout)
         return jnp.stack([Pm.real, Pm.imag])
 
     @jax.jit
-    def poisson(W):
-        return _poisson_core(W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
-                             layout=layout)
+    def poisson(w_, binv_, u_, W):
+        return _poisson_core(W, w_, binv_, u_, mesh=mesh, batched=batched,
+                             pad_rows=pad, layout=layout)
 
-    return poisson_planes if planes_io else poisson
+    if planes_io:
+        return lambda Wri: poisson_planes(w, binv, u, Wri)
+    return lambda W: poisson(w, binv, u, W)
 
 
 def build_step_fn(
@@ -386,82 +398,92 @@ def build_step_fn(
         def mm(a, b):
             return jnp.matmul(a, b, precision=prec)
 
-    def _iterate(W, dW):
-        Whalf = W + dW
-        Phalf = _poisson_core(
-            Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
-            refine=refine, op=op, layout=layout,
-        )
-        Phalf = Phalf * vareps
-        PW = mm(Phalf, Whalf)
-        PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
-        return mm(PW, Phalf) + PWc, PWc
+    # The factor arrays enter the jitted runners as ARGUMENTS: this jax
+    # version inlines closed-over (host or device) arrays as HLO literals,
+    # and at O(N^2) factor sizes the serialized program (~200 MB at
+    # N=4096) breaks tunneled remote-compile (HTTP 413).  _mk rebinds the
+    # program over traced factor parameters.
+    def _mk(w, binv, u, op):
+        def _iterate(W, dW):
+            Whalf = W + dW
+            Phalf = _poisson_core(
+                Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+                refine=refine, op=op, layout=layout,
+            )
+            Phalf = Phalf * vareps
+            PW = mm(Phalf, Whalf)
+            PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
+            return mm(PW, Phalf) + PWc, PWc
 
-    def fixed_point(W, dW):
-        def it(k, st):
-            dW, _PWc = st
-            return _iterate(W, dW)
+        def fixed_point(W, dW):
+            def it(k, st):
+                dW, _PWc = st
+                return _iterate(W, dW)
 
-        return lax.fori_loop(0, maxit, it, (dW, jnp.zeros_like(W)))
+            return lax.fori_loop(0, maxit, it, (dW, jnp.zeros_like(W)))
 
-    def fixed_point_adaptive(W, dW):
-        """Reference tolerance semantics on device: exit on converged or
-        stalled residual (batch-max inf-norm; a global all-reduce per
-        iteration under a mesh), capped at maxit."""
-        tol_j = jnp.asarray(tol, dtype=rdtype)
-        inf = jnp.asarray(np.inf, dtype=rdtype)
+        def fixed_point_adaptive(W, dW):
+            """Reference tolerance semantics on device: exit on converged or
+            stalled residual (batch-max inf-norm; a global all-reduce per
+            iteration under a mesh), capped at maxit."""
+            tol_j = jnp.asarray(tol, dtype=rdtype)
+            inf = jnp.asarray(np.inf, dtype=rdtype)
 
-        def cond(st):
-            i, _dW, _PWc, rn, rn_old = st
-            done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
-            return (i < maxit) & ~done
+            def cond(st):
+                i, _dW, _PWc, rn, rn_old = st
+                done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
+                return (i < maxit) & ~done
 
-        def body(st):
-            i, dW, _PWc, rn, _rn_old = st
-            dW_new, PWc = _iterate(W, dW)
-            rn_new = jnp.max(jnp.abs(dW_new - dW))
-            return (i + 1, dW_new, PWc, rn_new, rn)
+            def body(st):
+                i, dW, _PWc, rn, _rn_old = st
+                dW_new, PWc = _iterate(W, dW)
+                rn_new = jnp.max(jnp.abs(dW_new - dW))
+                return (i + 1, dW_new, PWc, rn_new, rn)
 
-        st0 = (jnp.asarray(0, jnp.int32), dW, jnp.zeros_like(W), inf, inf)
-        _, dW, PWc, _, _ = lax.while_loop(cond, body, st0)
-        return dW, PWc
+            st0 = (jnp.asarray(0, jnp.int32), dW, jnp.zeros_like(W), inf, inf)
+            _, dW, PWc, _, _ = lax.while_loop(cond, body, st0)
+            return dW, PWc
 
-    if tol is not None:
-        fixed_point = fixed_point_adaptive
+        fp = fixed_point_adaptive if tol is not None else fixed_point
 
-    def step(carry, _):
-        W, dW, csum = carry
-        dW, PWc = fixed_point(W, dW)
-        upd = 2.0 * PWc
-        if compsum:
-            y = upd - csum
-            t = W + y
-            csum = (t - W) - y
-            W = t
-        else:
-            W = W + upd
-        return (W, dW, csum), None
+        def step(carry, _):
+            W, dW, csum = carry
+            dW, PWc = fp(W, dW)
+            upd = 2.0 * PWc
+            if compsum:
+                y = upd - csum
+                t = W + y
+                csum = (t - W) - y
+                W = t
+            else:
+                W = W + upd
+            return (W, dW, csum), None
 
-    def diagnostics(W):
-        """On-device energy/enstrophy (f32/f64 scalars per state): monitoring
-        long runs without any complex transfers or host math."""
-        P = _poisson_core(
-            W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
-            refine=refine, op=op, layout=layout,
-        )
-        inner_WP = jnp.sum(W * jnp.conj(P), axis=(-2, -1)).real / N
-        inner_WW = jnp.sum(W * jnp.conj(W), axis=(-2, -1)).real / N
-        return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0], axis=-1)
+        def diagnostics(W):
+            """On-device energy/enstrophy (f32/f64 scalars per state):
+            monitoring long runs without any complex transfers or host
+            math."""
+            P = _poisson_core(
+                W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+                refine=refine, op=op, layout=layout,
+            )
+            inner_WP = jnp.sum(W * jnp.conj(P), axis=(-2, -1)).real / N
+            inner_WW = jnp.sum(W * jnp.conj(W), axis=(-2, -1)).real / N
+            return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0], axis=-1)
+
+        return step, diagnostics
 
     @jax.jit
-    def run(W, dW, csum):
+    def run(w_, binv_, u_, op_, W, dW, csum):
+        step, diagnostics = _mk(w_, binv_, u_, op_)
         (W, dW, csum), _ = lax.scan(step, (W, dW, csum), None, length=steps)
         if with_diagnostics:
             return W, dW, csum, diagnostics(W)
         return W, dW, csum
 
     @jax.jit
-    def run_planes(Wri, dWri, cri):
+    def run_planes(w_, binv_, u_, op_, Wri, dWri, cri):
+        step, diagnostics = _mk(w_, binv_, u_, op_)
         W = lax.complex(Wri[0], Wri[1])
         dW = lax.complex(dWri[0], dWri[1])
         csum = lax.complex(cri[0], cri[1])
@@ -475,7 +497,9 @@ def build_step_fn(
             return out + (diagnostics(W),)
         return out
 
-    return run_planes if planes_io else run
+    if planes_io:
+        return lambda Wri, dWri, cri: run_planes(w, binv, u, op, Wri, dWri, cri)
+    return lambda W, dW, csum: run(w, binv, u, op, W, dW, csum)
 
 
 class IsompTPU:
