@@ -86,7 +86,7 @@ def _resolve_layout(N, mesh, layout):
     Single chip, layout='auto' (the default): 'shear' (single pad+reshape
     pack, ops/diagpack.mat2shear) - fastest measured at N <= 2048 on TPU
     v5e (full production step, c64, benchmarks/sweep_round2.json): N=512
-    1295.6 steps/s; N=1024 301.6 (vs wrapped 250.9, wrapped-pallas 229.6);
+    1527.6 steps/s; N=1024 301.6 (vs wrapped 250.9, wrapped-pallas 229.6);
     N=2048 43.0.  At N >= 4096 the associative scan's O(N^2 log N) traffic
     loses to the chunked Pallas Thomas pipeline, so auto picks
     'shear_pallas' (shear pack + chunked VMEM serial-Thomas kernel,
