@@ -176,7 +176,8 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
     v = float(run(Wri))  # compile + warm
     assert np.isfinite(v), "NaN/Inf in benchmark state"
     best = np.inf
-    for _ in range(3):
+    # best-of-5: single runs through the shared tunnel vary ~10%
+    for _ in range(5):
         t0 = time.time()
         float(run(Wri))
         best = min(best, time.time() - t0)
