@@ -72,7 +72,7 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
                  refine=0):
     """Sync-amortized steps/s of the production stepper on the default
     backend.  Returns (sec_per_step, poisson_core_ms).  ``refine`` matches
-    build_step_fn's option (production f32 default is 1; see
+    build_step_fn's option (production f32 default is 'm0'; see
     benchmarks/conservation_1024.json)."""
     import jax
     import jax.numpy as jnp

@@ -80,12 +80,13 @@ def main():
 
         Wp = jnp.asarray(Wp0)
         st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
-        st = fn(*st)  # compile + warm (also warms dW for the adaptive exit)
+        # adaptive mode returns a 4th output (per-step iteration counts)
+        st = fn(*st)[:3]  # compile + warm (also warms dW for the adaptive exit)
         sync(st)
         best = np.inf
         for _ in range(3):
             t0 = time.time()
-            out = fn(*st)
+            out = fn(*st)[:3]
             sync(out)
             best = min(best, time.time() - t0)
         sps = steps / best

@@ -25,6 +25,7 @@ from .utils import (
     qtime2seconds,
     seconds2qtime,
     poisson_finite_differences,
+    run_cluster,
 )
 from .ops import geometry
 from .ops.geometry import (
@@ -68,6 +69,14 @@ from .quantization import (
     elmr2mat,
     elmc2mat,
 )
+from .quantization import (
+    adjust_basis_orientation_,
+    shr2mat_serial_,
+    shr2mat_parallel_,
+    mat2shr_serial_,
+    mat2shr_parallel_,
+)
+from .laplacian.direct import compute_direct_laplacian
 from . import transforms
 from .transforms import (
     fun2shc,
@@ -101,7 +110,25 @@ from .integrators import (
     magmp,
     magmp_fixedpoint,
 )
+from .integrators.mhd import solve_mhd
+from .integrators.isospectral import select_skewherm
 from . import io
+from .io import (
+    QuData,
+    save,
+    load,
+    load_basis,
+    save_basis,
+    get_basis_files,
+    get_basis_dirs,
+    get_N_for_basis,
+    load_basis_hdf5,
+    load_basis_npy,
+    load_basis_mat,
+    save_basis_hdf5,
+    convert_mat_to_hdf5_basis,
+    determine_qtype,
+)
 from . import physics
 from .physics import energy_euler, enstrophy, inner_H1, inner_Hm1
 from . import analysis
@@ -121,6 +148,16 @@ from .sim.solve import solve, in_notebook
 from . import models
 from . import parallel
 from . import graphics
+from .graphics import (
+    plot,
+    plot2,
+    spy,
+    resample,
+    Animation,
+    create_animation,
+    create_animation2,
+    adjust_colormap_brightness,
+)
 from . import cluster
 
 __version__ = "0.1.0"

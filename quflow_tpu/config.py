@@ -47,7 +47,10 @@ else:
 # install our default when none is set.  NOTE this IS a process-global
 # side effect: unrelated JAX code in the same process will also run its
 # bare matmuls f32-accurate.  Opt out with QUFLOW_TPU_MATMUL_PRECISION=default.
-if os.environ.get("JAX_DEFAULT_MATMUL_PRECISION") is None:
+if (
+    os.environ.get("JAX_DEFAULT_MATMUL_PRECISION") is None
+    and jax.config.jax_default_matmul_precision is None  # programmatic choice
+):
     jax.config.update(
         "jax_default_matmul_precision",
         os.environ.get("QUFLOW_TPU_MATMUL_PRECISION", "highest"),

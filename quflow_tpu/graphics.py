@@ -313,6 +313,9 @@ class Animation:
         return False
 
 
+plot2 = plot  # reference alias (quflow/graphics.py:346)
+
+
 def create_animation(
     filename, states, N=None, fps=25, preset="medium", extra_args=None,
     codec=None, progress_bar=True, progress_file=None, **kwargs

@@ -18,6 +18,12 @@ __all__ = [
     "get_basis_dirs",
     "get_basis_files",
     "get_N_for_basis",
+    "load_basis_hdf5",
+    "load_basis_npy",
+    "load_basis_mat",
+    "save_basis_hdf5",
+    "convert_mat_to_hdf5_basis",
+    "determine_qtype",
     "QuData",
     "save",
     "load",
@@ -105,6 +111,93 @@ def load_basis(N):
         if basis is not None:
             return np.ascontiguousarray(basis)
     return None
+
+
+def load_basis_hdf5(path, N):
+    """Public per-format loader (reference io.py:61-70 parity)."""
+    return _load_basis_hdf5(path, N)
+
+
+def load_basis_npy(path, N=None):
+    """Public per-format loader (reference io.py:72-74 parity)."""
+    basis = np.load(path, allow_pickle=False)
+    if N is not None and get_N_for_basis(basis.shape[0]) != N:
+        return None
+    return basis
+
+
+def load_basis_mat(path, N=None):
+    """Load a basis from a MATLAB .mat file (reference io.py:34-58 parity):
+    the file holds a single flat basis vector (any variable name)."""
+    from scipy.io import loadmat
+
+    data = loadmat(path)
+    for key, val in data.items():
+        if key.startswith("__"):
+            continue
+        basis = np.asarray(val).ravel()
+        if N is None or get_N_for_basis(basis.shape[0]) == N:
+            return np.ascontiguousarray(basis)
+    return None
+
+
+def save_basis_hdf5(path, basis):
+    """Append ``basis`` as BASIS_<N> to an HDF5 file (reference io.py:84-95
+    parity).  Returns True on success."""
+    import h5py
+
+    N = get_N_for_basis(basis.shape[0])
+    with h5py.File(path, "a") as f:
+        key = f"BASIS_{N}"
+        if key in f:
+            del f[key]
+        ds = f.create_dataset(key, data=np.asarray(basis))
+        ds.attrs["QUFLOW_VERSION"] = "quflow_tpu"
+    return True
+
+
+def convert_mat_to_hdf5_basis(matpath, hdf5path=None):
+    """Convert a MATLAB basis file to the HDF5 basis format (reference
+    io.py:139-143 parity)."""
+    basis = load_basis_mat(matpath)
+    if basis is None:
+        raise ValueError(f"No basis found in {matpath}.")
+    if hdf5path is None:
+        hdf5path = os.path.splitext(matpath)[0] + ".hdf5"
+    save_basis_hdf5(hdf5path, basis)
+    return hdf5path
+
+
+def determine_qtype(data, N=None):
+    """Classify state data: returns ``(qtype, issequence)`` with qtype in
+    {'mat','shr','shc','fun','img'} or None (reference io.py:146-204 parity).
+
+    Dispatch: 3-d arrays are sequences (complex -> mat, uint8 -> img, else
+    fun); 1-d arrays are single coefficient vectors (complex -> shc, else
+    shr); 2-d uint8 is a single img; other 2-d shapes need ``N`` to
+    disambiguate a single (N, N) mat / grid fun from a sequence of length-N^2
+    coefficient rows.
+    """
+    data = np.asarray(data)
+    if data.ndim == 3:
+        if np.iscomplexobj(data):
+            return "mat", True
+        if data.dtype == np.dtype("uint8"):
+            return "img", True
+        return "fun", True
+    if data.ndim == 1:
+        return ("shc" if np.iscomplexobj(data) else "shr"), False
+    if data.ndim == 2:
+        if data.dtype == np.dtype("uint8"):
+            return "img", False
+        if N is not None:
+            if data.shape == (N, N) and np.iscomplexobj(data):
+                return "mat", False
+            if data.shape[-1] == N ** 2:
+                return ("shr" if np.isrealobj(data) else "shc"), True
+            if np.isrealobj(data):
+                return "fun", False
+    return None, None
 
 
 def save_basis(basis, path=None):

@@ -89,8 +89,11 @@ def compute_tridiagonal_laplacian(N, bc=False):
 
 def dot_tridiagonal(lap, P):
     """Apply the tridiagonal operator: W = lap @ P in diag-packed layout
-    (reference laplacian/tridiagonal.py:136-162)."""
-    Pd = mat2diagh(np.asarray(P), tracefree=False)
+    (reference laplacian/tridiagonal.py:136-162).  The trace of P is
+    subtracted before the dot, matching the reference's ``mat2diagh``
+    tracefree default at its :155 call site (results differ for
+    nonzero-trace input otherwise)."""
+    Pd = mat2diagh(np.asarray(P), tracefree=True)
     Wd = lap[:, 0, :] * Pd
     Wd[:, 1:] += lap[:, 1, :-1] * Pd[:, :-1]
     Wd[:, :-1] += lap[:, 1, :-1] * Pd[:, 1:]

@@ -355,22 +355,30 @@ def build_step_fn(
     residual inf-norm ||dW - dW_old||_inf <= tol or stalls (residual
     non-decreasing after ``minit``), capped at ``maxit``.  Under a mesh the
     residual max is a global cross-shard reduction (one all-reduce per
-    iteration) inserted by GSPMD.
+    iteration) inserted by GSPMD.  In adaptive mode the runner returns one
+    extra output: the per-step iteration counts, shape (steps,) int32 (the
+    reference's iterations-vs-time health diagnostic).
     """
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     layout = _resolve_layout(N, mesh, layout)
     pad = _mesh_pad_rows(N, mesh, layout)
     if refine is None:
         # Data-driven default (benchmarks/conservation_1024.json: N=1024,
-        # 10k device steps): f64-residual refinement in f32 cuts Casimir
-        # drift 38x (1.26e-4 -> 3.3e-6) and enstrophy drift 37x
-        # (4.1e-7 -> 1.1e-8).  The f32 solve error concentrates in the
-        # ill-conditioned m=0 system, so the default refines only that
-        # system ('m0'): O(N) work, measured cost ~0 vs 1.6x for the
-        # full-array refine=1.  Residuals always use the f64 operator
-        # (working-precision residuals are cancellation noise).  In f64
-        # the base solve is already at roundoff; refinement off.
-        refine = "m0" if np.dtype(rdtype) == np.float32 else 0
+        # 10k device steps, c64): the m0-only refinement cuts Casimir drift
+        # 2.7x vs unrefined (1.26e-4 -> 4.7e-5) at ~zero cost; it does NOT
+        # improve enstrophy drift (7.7e-7 vs 4.1e-7 unrefined).  Full
+        # refine=1 reaches 3.3e-6 Casimir at ~1.6x step cost; for drift
+        # beyond that use the double-word GEMM mode (precision='ozaki').
+        # Residuals always use the f64 operator (working-precision
+        # residuals are cancellation noise).  In f64 the base solve is
+        # already at roundoff; refinement off.  On the scan-row layouts
+        # (mesh 'shard'/'scatter') the m0 write-back triggers a measured
+        # XLA pathology (poisson 0.29 -> 5.36 ms at N=1024, persists with
+        # an optimization_barrier), so those default to 0.
+        if np.dtype(rdtype) == np.float32 and layout not in ("shard", "scatter"):
+            refine = "m0"
+        else:
+            refine = 0
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
@@ -425,7 +433,9 @@ def build_step_fn(
         def fixed_point_adaptive(W, dW):
             """Reference tolerance semantics on device: exit on converged or
             stalled residual (batch-max inf-norm; a global all-reduce per
-            iteration under a mesh), capped at maxit."""
+            iteration under a mesh), capped at maxit.  Also returns the
+            iteration count taken (the reference's iterations-vs-time health
+            diagnostic, isospectral.py:609-612)."""
             tol_j = jnp.asarray(tol, dtype=rdtype)
             inf = jnp.asarray(np.inf, dtype=rdtype)
 
@@ -441,14 +451,16 @@ def build_step_fn(
                 return (i + 1, dW_new, PWc, rn_new, rn)
 
             st0 = (jnp.asarray(0, jnp.int32), dW, jnp.zeros_like(W), inf, inf)
-            _, dW, PWc, _, _ = lax.while_loop(cond, body, st0)
-            return dW, PWc
-
-        fp = fixed_point_adaptive if tol is not None else fixed_point
+            iters, dW, PWc, _, _ = lax.while_loop(cond, body, st0)
+            return dW, PWc, iters
 
         def step(carry, _):
             W, dW, csum = carry
-            dW, PWc = fp(W, dW)
+            if tol is not None:
+                dW, PWc, iters = fixed_point_adaptive(W, dW)
+            else:
+                dW, PWc = fixed_point(W, dW)
+                iters = jnp.asarray(maxit, jnp.int32)
             upd = 2.0 * PWc
             if compsum:
                 y = upd - csum
@@ -457,7 +469,11 @@ def build_step_fn(
                 W = t
             else:
                 W = W + upd
-            return (W, dW, csum), None
+            # per-step iteration counts ride the scan ys: device-true stats
+            # with no extra transfers beyond one (steps,) int32 output,
+            # emitted only in adaptive mode (fixed mode is exact by
+            # construction and keeps the historical 3-output signature)
+            return (W, dW, csum), (iters if tol is not None else None)
 
         def diagnostics(W):
             """On-device energy/enstrophy (f32/f64 scalars per state):
@@ -476,10 +492,13 @@ def build_step_fn(
     @jax.jit
     def run(w_, binv_, u_, op_, W, dW, csum):
         step, diagnostics = _mk(w_, binv_, u_, op_)
-        (W, dW, csum), _ = lax.scan(step, (W, dW, csum), None, length=steps)
+        (W, dW, csum), iters = lax.scan(step, (W, dW, csum), None, length=steps)
+        out = (W, dW, csum)
+        if tol is not None:
+            out = out + (iters,)
         if with_diagnostics:
-            return W, dW, csum, diagnostics(W)
-        return W, dW, csum
+            out = out + (diagnostics(W),)
+        return out
 
     @jax.jit
     def run_planes(w_, binv_, u_, op_, Wri, dWri, cri):
@@ -487,14 +506,16 @@ def build_step_fn(
         W = lax.complex(Wri[0], Wri[1])
         dW = lax.complex(dWri[0], dWri[1])
         csum = lax.complex(cri[0], cri[1])
-        (W, dW, csum), _ = lax.scan(step, (W, dW, csum), None, length=steps)
+        (W, dW, csum), iters = lax.scan(step, (W, dW, csum), None, length=steps)
         out = (
             jnp.stack([W.real, W.imag]),
             jnp.stack([dW.real, dW.imag]),
             jnp.stack([csum.real, csum.imag]),
         )
+        if tol is not None:
+            out = out + (iters,)
         if with_diagnostics:
-            return out + (diagnostics(W),)
+            out = out + (diagnostics(W),)
         return out
 
     if planes_io:
@@ -550,14 +571,24 @@ class IsompTPU:
             z = jnp.zeros_like(Wp)
             self._state = (z, z)
         dW, csum = self._state
-        Wp, dW, csum = self._fn(W_in.shape[-1], dt, steps)(Wp, dW, csum)
+        res = self._fn(W_in.shape[-1], dt, steps)(Wp, dW, csum)
+        if self.tol is not None:
+            Wp, dW, csum, iters = res
+        else:
+            Wp, dW, csum = res
+            iters = None
         self._state = (dW, csum)
         out = from_planes(np.asarray(Wp)).astype(W_in.dtype)
         if stats is not None:
-            if self.tol is None:
+            if iters is None:
                 stats["iterations"] = float(self.maxit)  # branch-free: exact
-            # adaptive mode: the device while_loop's true iteration count is
-            # not observable without a transfer; report the cap only.
+            else:
+                # device-true per-step counts from the while_loop carry,
+                # emitted through the scan ys (one small int32 transfer)
+                counts = np.asarray(iters)
+                stats["iterations"] = float(counts.mean())
+                stats["iterations_series"] = counts
+                stats["number_of_maxit"] = int((counts >= self.maxit).sum())
             stats["maxit"] = float(self.maxit)
         if isinstance(W, np.ndarray) and W.flags.writeable:
             np.copyto(W, out)

@@ -71,6 +71,21 @@ def test_dot_tridiagonal_inverts_solve():
     np.testing.assert_allclose(tridiagonal.dot_tridiagonal(lap, P), W, atol=1e-12)
 
 
+def test_dot_tridiagonal_subtracts_trace():
+    # the reference's dot_tridiagonal packs P with mat2diagh's tracefree
+    # default (reference laplacian/tridiagonal.py:155), so a nonzero trace
+    # must not change the result
+    N = 16
+    P = _rand_skewh(N, seed=4, tracefree=True)
+    lap = tridiagonal.compute_tridiagonal_laplacian(N, bc=False)
+    shifted = P + (0.7j / N) * np.eye(N)  # skew-Hermitian, trace 0.7j
+    np.testing.assert_allclose(
+        tridiagonal.dot_tridiagonal(lap, shifted),
+        tridiagonal.dot_tridiagonal(lap, P),
+        atol=1e-12,
+    )
+
+
 def test_mat2diagh_roundtrip_host_numpy():
     N = 12
     W = _rand_skewh(N, seed=3)

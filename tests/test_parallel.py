@@ -253,6 +253,41 @@ def test_stepper_adaptive_tolerance_matches_isomp():
     np.testing.assert_allclose(out, ref, atol=1e-13)
 
 
+def test_stepper_adaptive_iteration_stats_device_true():
+    """Adaptive mode reports the device while_loop's true per-step iteration
+    counts (the reference's iterations-vs-time health diagnostic,
+    isospectral.py:609-612) through the scan ys and IsompTPU.stats."""
+    from quflow_tpu.parallel.stepper import IsompTPU
+
+    d = np.load("tests/data/oracle.npz")
+    W0 = d["isomp_W0"]
+    dt = qf.hbar(16) * float(d["isomp_stepsize"])
+    fn = build_step_fn(
+        16, dt, steps=50, maxit=10, dtype=np.complex128, compsum=False,
+        planes_io=True, tol=1e-10, minit=1,
+    )
+    Wp = jnp.asarray(to_planes(W0))
+    z = jnp.zeros_like(Wp)
+    res = fn(Wp, z, z)
+    assert len(res) == 4
+    iters = np.asarray(res[3])
+    assert iters.shape == (50,) and iters.dtype == np.int32
+    assert (iters >= 1).all() and (iters <= 10).all()
+    # reference oracle: same mean iteration count
+    stats_ref = {}
+    qf.isomp(W0.copy(), dt, 50, tol=1e-10, maxit=10, minit=1, stats=stats_ref)
+    np.testing.assert_allclose(iters.mean(), stats_ref["iterations"], atol=1e-12)
+
+    # and via the drop-in integrator
+    integ = IsompTPU(maxit=10, tol=1e-10, minit=1, dtype=np.complex128,
+                     compsum=False)
+    stats = {}
+    integ(W0.copy(), dt, steps=50, stats=stats)
+    np.testing.assert_allclose(stats["iterations"], stats_ref["iterations"],
+                               atol=1e-12)
+    assert stats["iterations_series"].shape == (50,)
+
+
 def test_stepper_adaptive_under_mesh():
     """Adaptive while_loop composes with the sharded solve (residual is a
     global cross-shard reduction)."""
