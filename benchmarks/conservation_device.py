@@ -46,7 +46,9 @@ def main():
     import jax.numpy as jnp
     import quflow_tpu as qf
     from quflow_tpu.models import EulerFlow
-    from quflow_tpu.parallel.stepper import build_step_fn, to_planes, from_planes
+    from quflow_tpu.parallel.stepper import (
+        build_step_fn, build_dw_step_fn, to_planes, from_planes,
+    )
 
     N = args.N
     out_path = _out_path(N)
@@ -57,13 +59,17 @@ def main():
     e0 = float(qf.energy_euler(W0))
     z0 = float(qf.enstrophy(W0))
 
-    # (name, maxit, compsum, refine)
+    # (name, maxit, compsum, refine); dw rows use the double-word stepper
+    # (Ozaki-split bf16 GEMMs + f64 elementwise, stepper.build_dw_step_fn):
+    # refine is reinterpreted as dw_iters there.
     configs = [
-        ("c64 compsum+m0 maxit5", 5, True, "m0"),  # production default
+        ("c64 compsum+m0 maxit5", 5, True, "m0"),  # f32 production default
         ("c64 compsum maxit5", 5, True, 0),
         ("c64 compsum maxit10", 10, True, 0),
         ("c64 compsum+refine maxit5", 5, True, 1),
         ("c64 plain maxit5", 5, False, 0),
+        ("dw f32x3+dwx2 maxit5", 5, True, ("dw", 2)),  # high-precision default
+        ("dw pure maxit6", 6, True, ("dw", 6)),
     ]
     results = {
         "config": f"N={N}, dt=0.25*hbar, {args.steps} steps, production "
@@ -83,12 +89,19 @@ def main():
     for name, maxit, compsum, refine in configs:
         if args.only and args.only not in name:
             continue
-        fn = build_step_fn(
-            N, dt, steps=args.chunk, maxit=maxit, dtype=np.complex64,
-            compsum=compsum, planes_io=True, refine=refine,
-            with_diagnostics=True,
-        )
-        Wp = jnp.asarray(Wp0)
+        if isinstance(refine, tuple) and refine[0] == "dw":
+            fn = build_dw_step_fn(
+                N, dt, steps=args.chunk, maxit=maxit, dw_iters=refine[1],
+                compsum=compsum, with_diagnostics=True,
+            )
+            Wp = jnp.asarray(to_planes(W0.astype(np.complex128)))
+        else:
+            fn = build_step_fn(
+                N, dt, steps=args.chunk, maxit=maxit, dtype=np.complex64,
+                compsum=compsum, planes_io=True, refine=refine,
+                with_diagnostics=True,
+            )
+            Wp = jnp.asarray(Wp0)
         st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
         series = []
         t0 = time.time()
@@ -109,6 +122,7 @@ def main():
               f"{sps:>9.1f}")
         results["rows"][name] = {
             "maxit": maxit, "compsum": compsum, "refine": refine,
+            "steps": args.steps,
             "casimir_drift": cd, "energy_drift": ed, "enstrophy_drift": zd,
             "series_max_energy_drift": sd,
             "energy_series_every_chunk": [round(float(x), 10)

@@ -1,0 +1,131 @@
+"""Double-word (f64-accurate) matmul on the bf16 MXU via Ozaki-style splitting.
+
+TPU v5e has no float64 matmul; its MXU multiplies bf16 operands exactly and
+accumulates in float32.  The reference framework relies on complex128 BLAS for
+its machine-precision Casimir conservation (reference README.md:73-76,
+quflow/integrators/isospectral.py:553-586) - this module provides the
+TPU-native equivalent: an error-free-transformation GEMM in the style of the
+Ozaki scheme.
+
+How it works
+------------
+Each float64 operand is split into ``q`` bf16 slices whose mantissas carry
+``t`` bits each, aligned to a power-of-two grid that is *constant along the
+contraction axis* (per-row grid for the left operand, per-column for the
+right).  Then every slice-pair product is an integer multiple of a fixed grid
+``gA[i] * gB[j]`` with at most ``2t`` significant bits, so the MXU's f32
+accumulation of K such products is EXACT as long as
+
+    2*t + ceil(log2 K) <= 24          (f32 mantissa)
+
+(verified on this chip: max error exactly 0.0 for grid-aligned products at
+K=1024).  Summing the q(q+1)/2 slice-pair products with ``i+j < q`` in
+float64 (elementwise f64 works on v5e) yields a product with relative error
+~2^(-t*q) - beyond double precision for the default budgets below - at the
+cost of q(q+1)/2 single-pass bf16 MXU passes (vs 6 passes for XLA's
+f32-"highest" matmul, which carries ~2^-24 sqrt(K) accumulation error).
+
+Slice budget per contraction length K (t = (24 - ceil(log2 K)) // 2):
+
+    K <= 1024:  t=7, q=8  -> 36 passes, error ~2^-56
+    K <= 4096:  t=6, q=9  -> 45 passes, error ~2^-54
+    K <= 16384: t=5, q=11 -> 66 passes, error ~2^-55
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["dw_matmul", "dw_matmul_planes", "dw_split", "split_params"]
+
+
+def split_params(K, target_bits=53):
+    """(t, q): bits per slice and slice count for contraction length K.
+
+    ``t`` is the largest slice width with exact f32 accumulation of K
+    products (2t + ceil(log2 K) <= 24); ``q`` covers ``target_bits`` of the
+    operand mantissa (53 = full f64)."""
+    # exact f32 accumulation: 2t + log2 K <= 24; exact bf16 slice storage:
+    # t <= 8 (bf16 carries 8 significand bits, so |round(x/g)| <= 2^t is
+    # exact only up to t = 8)
+    t = min(8, (24 - max(1, int(np.ceil(np.log2(K))))) // 2)
+    if t < 2:
+        raise ValueError(f"contraction length {K} too large for exact bf16 split")
+    q = int(np.ceil(target_bits / t)) + 1  # +1: one guard slice
+    return t, q
+
+
+def dw_split(A, t, q, axis):
+    """Split a float array into q bf16 slices plus the alignment exponents.
+
+    ``axis`` is the contraction axis of the *operand* (the one the matmul
+    sums over): the power-of-two alignment grid is constant along it (max
+    taken over it), which is what makes slice-pair products grid-aligned and
+    the MXU accumulation exact.
+
+    Returns a list of q bf16 arrays whose (f64) sum reconstructs A to
+    t*q bits.
+    """
+    A = jnp.asarray(A)
+    mu = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
+    # power-of-two >= mu; zero rows get grid 1.0 (their slices are all zero)
+    e = jnp.exp2(jnp.ceil(jnp.log2(jnp.where(mu > 0, mu, 1.0))))
+    slices = []
+    resid = A
+    for s in range(q):
+        g = e * (2.0 ** (-t * (s + 1)))
+        # integer part on this grid: |round(resid/g)| <= 2^t, exact in bf16
+        sl = jnp.round(resid / g) * g
+        resid = resid - sl
+        slices.append(sl.astype(jnp.bfloat16))
+    return slices
+
+
+def _pair_products(asl, bsl, q, out_dtype):
+    """Sum the slice-pair matmuls with i+j < q in float64."""
+    out = None
+    for i in range(q):
+        for j in range(q - i):
+            p = jnp.matmul(
+                asl[i],
+                bsl[j],
+                precision=lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
+            out = p if out is None else out + p
+    return out
+
+
+def dw_matmul(A, B, target_bits=53, out_dtype=jnp.float64):
+    """Error-free-transformed A @ B for real arrays (..., m, k) x (..., k, n).
+
+    Relative error ~2^(-t*q) (beyond f64 for the default budget); all MXU
+    work is single-pass bf16, all corrections are elementwise float64.
+    """
+    K = A.shape[-1]
+    t, q = split_params(K, target_bits)
+    asl = dw_split(A, t, q, axis=-1)
+    bsl = dw_split(B, t, q, axis=-2)
+    return _pair_products(asl, bsl, q, out_dtype)
+
+
+def dw_matmul_planes(Ap, Bp, target_bits=53, out_dtype=jnp.float64):
+    """Complex matmul on split-real planes: Ap, Bp of shape (2, ..., m, k)
+    and (2, ..., k, n) as (re, im); returns (2, ..., m, n).
+
+    Four real double-word products sharing the four operand splits (the
+    4-multiplication form; Karatsuba is avoided here because its
+    ``t3 - t1 - t2`` cancellation would reintroduce f64-level error on the
+    near-exact products).
+    """
+    K = Ap.shape[-1]
+    t, q = split_params(K, target_bits)
+    ar = dw_split(Ap[0], t, q, axis=-1)
+    ai = dw_split(Ap[1], t, q, axis=-1)
+    br = dw_split(Bp[0], t, q, axis=-2)
+    bi = dw_split(Bp[1], t, q, axis=-2)
+    re = _pair_products(ar, br, q, out_dtype) - _pair_products(ai, bi, q, out_dtype)
+    im = _pair_products(ar, bi, q, out_dtype) + _pair_products(ai, br, q, out_dtype)
+    return jnp.stack([re, im])

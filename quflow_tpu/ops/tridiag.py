@@ -282,6 +282,35 @@ def _m0_semisep(N):
     return (u / s).astype(np.float32), (v * s).astype(np.float32)
 
 
+def m0_correction(x0, d0, main, off):
+    """Semiseparable f64-residual correction for the m=0 system alone:
+    ``x0``/``d0`` are the (..., N) solution/rhs of the main-diagonal system,
+    ``main``/``off`` its f64 coefficients.  Returns the additive correction
+    T^-1 (d0 - T x0) via the cached semiseparable inverse factors (two
+    cumsums; see :func:`_m0_semisep`)."""
+    ld = x0.real.dtype
+    rd = main.dtype  # f64 host constants
+    uu, vv = _m0_semisep(x0.shape[-1])
+    uu = jnp.asarray(uu, dtype=ld)
+    vv = jnp.asarray(vv, dtype=ld)
+
+    def channel(xc, dc):
+        xh = xc.astype(rd)
+        r = dc.astype(rd) - main * xh
+        r = r.at[..., 1:].add(-off[:-1] * xh[..., :-1])
+        r = r.at[..., :-1].add(-off[:-1] * xh[..., 1:])
+        r = r.astype(ld)
+        # T^-1 @ r via the semiseparable form: corr_i =
+        #   v_i * sum_{j<=i} u_j r_j + u_i * sum_{j>i} v_j r_j
+        c1 = jnp.cumsum(uu * r, axis=-1)
+        c2 = jnp.cumsum(vv * r, axis=-1)
+        return vv * c1 + uu * (c2[..., -1:] - c2)
+
+    if jnp.iscomplexobj(x0):
+        return lax.complex(channel(x0.real, d0.real), channel(x0.imag, d0.imag))
+    return channel(x0, d0)
+
+
 def refine_m0(x, d, op, axis):
     """One f64-residual refinement of the m=0 (main-diagonal) system only.
 
@@ -306,30 +335,7 @@ def refine_m0(x, d, op, axis):
         main = jnp.asarray(op[0, :, 0])
         off = jnp.asarray(op[1, :, 0])
 
-    ld = x0.real.dtype
-    rd = main.dtype  # f64 host constants
-    uu, vv = _m0_semisep(x0.shape[-1])
-    uu = jnp.asarray(uu, dtype=ld)
-    vv = jnp.asarray(vv, dtype=ld)
-
-    def channel(xc, dc):
-        xh = xc.astype(rd)
-        r = dc.astype(rd) - main * xh
-        r = r.at[..., 1:].add(-off[:-1] * xh[..., :-1])
-        r = r.at[..., :-1].add(-off[:-1] * xh[..., 1:])
-        r = r.astype(ld)
-        # T^-1 @ r via the semiseparable form: corr_i =
-        #   v_i * sum_{j<=i} u_j r_j + u_i * sum_{j>i} v_j r_j
-        c1 = jnp.cumsum(uu * r, axis=-1)
-        c2 = jnp.cumsum(vv * r, axis=-1)
-        return vv * c1 + uu * (c2[..., -1:] - c2)
-
-    if jnp.iscomplexobj(x0):
-        corr = lax.complex(
-            channel(x0.real, d0.real), channel(x0.imag, d0.imag)
-        )
-    else:
-        corr = channel(x0, d0)
+    corr = m0_correction(x0, d0, main, off)
 
     # masked write-back (scatters at constant index mispartition under
     # GSPMD when the packed axis is sharded; see diagpack.subtract_row0_mean)

@@ -95,6 +95,14 @@ def _resolve_layout(N, mesh, layout):
     'wrapped' (all-N-rows barrel pack), 'rolls', and 'pallas' (wrapped pack
     + monolithic kernel) remain manual escape hatches."""
     if mesh is not None:
+        if layout in (None, "auto", "shear", "shear_shard", "shear_pallas"):
+            # sharded shear: 1 neighbor ppermute per pack/unpack (the shear
+            # view is a flat reshape, so only the shard-boundary overlap
+            # moves) + distributed affine scan with all-gathered carries -
+            # strictly fewer/cheaper collectives than the wrapped relayout
+            # (ppermute + all-to-all), and refine='m0' works under it
+            # (shard_shear.solve_shear_sharded)
+            return "shear_shard" if N % _tensor_devices(mesh) == 0 else "scatter"
         return "shard" if N % _tensor_devices(mesh) == 0 else "scatter"
     if layout in (None, "auto"):
         # the kernel crossover is a TPU measurement; off-TPU the Pallas
@@ -161,6 +169,28 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
             x = refine_m0(x, d, op, axis=-2)
         x = subtract_col0_mean(x)
         return shear2mat(x)
+    if layout == "shear_shard":
+        from .shard_shear import (
+            pack_shear_sharded,
+            solve_shear_sharded,
+            unpack_shear_sharded,
+        )
+
+        if refine_full:
+            raise ValueError(
+                "layout='shear_shard' supports refine=0 or 'm0' only"
+            )
+        fm = flat_mesh_view(mesh)
+        dense_spec = P("dp", "tp", None) if batched else P("tp", None)
+        W = lax.with_sharding_constraint(W, NamedSharding(fm, dense_spec))
+        d = pack_shear_sharded(W, mesh, batched=batched, tracefree=True)
+        x = solve_shear_sharded(
+            w, binv, u, d, mesh, batched=batched,
+            m0_op=(op if m0_only else None),
+        )
+        x = subtract_col0_mean(x)
+        Pmat = unpack_shear_sharded(x, mesh, batched=batched)
+        return lax.with_sharding_constraint(Pmat, NamedSharding(fm, dense_spec))
     if layout == "shard":
         fm = flat_mesh_view(mesh)
         dense_spec = P("dp", "tp", None) if batched else P("tp", None)
@@ -290,7 +320,7 @@ def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=
     w, binv, u = _real_factors(
         N, rdtype, pad_rows=pad,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
-        shear=(layout in ("shear", "shear_pallas")),
+        shear=(layout in ("shear", "shear_pallas", "shear_shard")),
     )
 
     # factors enter as jit ARGUMENTS: this jax version inlines closed-over
@@ -382,7 +412,7 @@ def build_step_fn(
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
-        shear=(layout in ("shear", "shear_pallas")),
+        shear=(layout in ("shear", "shear_pallas", "shear_shard")),
     )
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(
@@ -597,22 +627,187 @@ class IsompTPU:
 
 
 # ---------------------------------------------------------------------------
+# Double-word (f64-accurate) stepper: Ozaki-split GEMMs on the bf16 MXU +
+# float64 elementwise everywhere else.  This is the TPU-native equivalent of
+# the reference's complex128 BLAS stepping, which is what its machine-
+# precision Casimir conservation rests on (reference README.md:73-76,
+# integrators/isospectral.py:553-586); TPU v5e has no f64/c128 matmul, so
+# the GEMMs are emulated error-free (ops/dwgemm.py) while f64 elementwise
+# (solve, packs, update) runs natively (software-emulated by XLA).
+# ---------------------------------------------------------------------------
+
+def _conj_t_planes(Ap):
+    """Conjugate transpose on split-real planes (2, ..., N, N)."""
+    return jnp.stack(
+        [jnp.swapaxes(Ap[0], -1, -2), -jnp.swapaxes(Ap[1], -1, -2)]
+    )
+
+
+def build_dw_step_fn(
+    N,
+    dt,
+    steps=1,
+    maxit=5,
+    dw_iters=2,
+    compsum=True,
+    target_bits=50,
+    with_diagnostics=False,
+):
+    """Jitted multi-step isospectral-midpoint runner in double-word precision.
+
+    State I/O is split-real float64 planes (2, N, N) (f64 host<->device
+    transfers work on this runtime; complex128 does not exist on device, so
+    the whole step is written in real-plane arithmetic).  The complex GEMMs
+    run as Ozaki-split bf16 MXU passes with float64 accumulation - relative
+    GEMM error ~2^-50 at the default budget vs ~2^-24*sqrt(N) for the f32
+    'highest' path - and the Poisson solve, packs, and state update are
+    float64 elementwise.
+
+    ``dw_iters``: only the LAST dw_iters fixed-point iterations use the
+    double-word GEMM; the first maxit - dw_iters run f32-'highest' (the
+    fixed point contracts regardless of per-iteration GEMM precision, so
+    early iterations only need enough accuracy to keep converging, and the
+    final dw iterations clean dW and produce the update-defining PWc).
+    Measured at N=1024/1000 steps on v5e: pure dw (maxit=6) 15.0 steps/s,
+    Casimir 1.4e-12; f32x3+dwx2 37.0 steps/s, Casimir 1.9e-12 (equal within
+    eigensolver noise); f32x4+dwx1 56 steps/s but 1.5e-10 (one dw pass does
+    not clean dW enough).  ``dw_iters=maxit`` gives the pure-dw schedule.
+
+    Returns ``fn(Wp, dWp, cp) -> (Wp, dWp, cp)`` like build_step_fn with
+    planes_io (same warm-started dW / Kahan compensation threading).
+
+    This mode exists for the conservation gate (Casimir drift <1e-10 over
+    long runs, BASELINE.md): expect ~4-8x the step cost of the f32
+    production stepper.
+    """
+    from ..ops.dwgemm import dw_matmul_planes
+
+    dw_iters = min(dw_iters, maxit)
+    w, binv, u = _real_factors(N, np.float64, shear=True)
+    vareps = np.float64(dt / (2.0 * hbar(N)))
+
+    def _poisson_planes(Wp, w_, binv_, u_):
+        d = mat2shear(Wp, tracefree=True)          # (2, N, N+1) f64
+        x = solve_factored(_Fac(w_, binv_, u_), d, axis=-2)
+        x = subtract_col0_mean(x)
+        return shear2mat(x)
+
+    def _f32_mm_planes(Ap, Bp):
+        a = Ap.astype(jnp.float32)
+        b = Bp.astype(jnp.float32)
+
+        def mm(x, y):
+            return jnp.matmul(x, y, precision=lax.Precision.HIGHEST)
+
+        re = mm(a[0], b[0]) - mm(a[1], b[1])
+        im = mm(a[0], b[1]) + mm(a[1], b[0])
+        return jnp.stack([re, im]).astype(jnp.float64)
+
+    def _mk(w_, binv_, u_):
+        def _iterate(Wp, dWp, mmfn):
+            Whp = Wp + dWp
+            Php = _poisson_planes(Whp, w_, binv_, u_) * vareps
+            PWp = mmfn(Php, Whp)
+            PWc = PWp - _conj_t_planes(PWp)
+            dW_new = mmfn(PWp, Php) + PWc
+            return dW_new, PWc
+
+        def _dw_mm(a, b):
+            return dw_matmul_planes(a, b, target_bits=target_bits)
+
+        def fixed_point(Wp, dWp):
+            st = (dWp, jnp.zeros_like(Wp))
+
+            def it_f32(k, st):
+                return _iterate(Wp, st[0], _f32_mm_planes)
+
+            def it_dw(k, st):
+                return _iterate(Wp, st[0], _dw_mm)
+
+            if maxit > dw_iters:
+                st = lax.fori_loop(0, maxit - dw_iters, it_f32, st)
+            return lax.fori_loop(0, dw_iters, it_dw, st)
+
+        def step(carry, _):
+            Wp, dWp, cp = carry
+            dWp, PWc = fixed_point(Wp, dWp)
+            upd = 2.0 * PWc
+            if compsum:
+                y = upd - cp
+                t = Wp + y
+                cp = (t - Wp) - y
+                Wp = t
+            else:
+                Wp = Wp + upd
+            return (Wp, dWp, cp), None
+
+        def diagnostics(Wp):
+            Pp = _poisson_planes(Wp, w_, binv_, u_)
+            # Re<W, P> and Re<W, W> on planes: Re(W conj(P)) = WrPr + WiPi
+            inner_WP = jnp.sum(Wp[0] * Pp[0] + Wp[1] * Pp[1]) / N
+            inner_WW = jnp.sum(Wp[0] ** 2 + Wp[1] ** 2) / N
+            return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0])
+
+        return step, diagnostics
+
+    @jax.jit
+    def run(w_, binv_, u_, Wp, dWp, cp):
+        step, diagnostics = _mk(w_, binv_, u_)
+        (Wp, dWp, cp), _ = lax.scan(step, (Wp, dWp, cp), None, length=steps)
+        if with_diagnostics:
+            return Wp, dWp, cp, diagnostics(Wp)
+        return Wp, dWp, cp
+
+    return lambda Wp, dWp, cp: run(w, binv, u, Wp, dWp, cp)
+
+
+# ---------------------------------------------------------------------------
 # MHD production stepper (magnetic midpoint; the reference has no GPU path
 # for magmp - this is new TPU-native capability)
 # ---------------------------------------------------------------------------
 
-def _laplace_core(P, op, layout="wrapped"):
+def _laplace_core(Pm, op, layout="wrapped", mesh=None, batched=False):
     """Apply the quantized Laplacian in the fast layout (bc=False operator;
-    for 'shear' pass the channel-first (2, N, N+1) operator)."""
+    for 'shear' pass the channel-first (2, N, N+1) operator).  Under a mesh
+    ('shard' layout) the relayout is the O(1)-collective shard_map pack and
+    ``op`` is the all-N-rows wrapped operator."""
     from ..ops.tridiag import dot_packed, dot_cols
 
     if layout in ("shear", "shear_pallas"):
-        return shear2mat(dot_cols(op, mat2shear(P, tracefree=False)))
+        return shear2mat(dot_cols(op, mat2shear(Pm, tracefree=False)))
+    if layout == "shard":
+        fm = flat_mesh_view(mesh)
+        dense_spec = P("dp", "tp", None) if batched else P("tp", None)
+        Pm = lax.with_sharding_constraint(Pm, NamedSharding(fm, dense_spec))
+        d = pack_wrapped_sharded(Pm, mesh, batched=batched)
+        out = unpack_wrapped_sharded(dot_packed(op, d), mesh, batched=batched)
+        return lax.with_sharding_constraint(out, NamedSharding(fm, dense_spec))
     if layout in ("wrapped", "pallas"):
-        d = mat2wrapped(P, tracefree=False)
+        d = mat2wrapped(Pm, tracefree=False)
         return wrapped2mat(dot_packed(op, d))
-    d = mat2diagh(P, skewh=True, tracefree=False)
+    d = mat2diagh(Pm, skewh=True, tracefree=False)
+    if layout == "scatter" and mesh is not None:
+        d = lax.with_sharding_constraint(
+            d, NamedSharding(mesh, rows_spec(batched))
+        )
     return diagh2mat(dot_packed(op, d), skewh=True)
+
+
+def _mhd_lap_op(N, layout, rdtype, pad_rows=0):
+    """bc=False Laplacian operator in the layout _laplace_core expects."""
+    from ..ops.tridiag import packed_laplacian
+
+    if layout in ("shear", "shear_pallas"):
+        opn = shear_laplacian(N, bc=False)
+        return np.stack([opn[:, 0, :].T, opn[:, 1, :].T]).astype(rdtype)
+    if layout in ("wrapped", "pallas", "shard"):
+        return packed_laplacian(N, nrows=N, bc=False).astype(rdtype)
+    op = packed_laplacian(N, nrows=num_rows(N, True), bc=False).astype(rdtype)
+    if pad_rows:
+        pad = np.zeros((pad_rows, 2, N), rdtype)
+        pad[:, 0, :] = 1.0
+        op = np.concatenate([op, pad], axis=0)
+    return op
 
 
 def build_mhd_step_fn(
@@ -624,25 +819,45 @@ def build_mhd_step_fn(
     precision="highest",
     planes_io=True,
     layout="auto",
+    compsum=True,
+    refine=None,
+    mesh=None,
+    batched=False,
+    tol=None,
+    minit=1,
 ):
     """Jitted multi-step magnetic-midpoint runner on the two-component state
-    (W, Theta); planes I/O shape (2, 2, N, N) = (re/im, component, N, N).
-    Returns fn(Sri, dSri) -> (Sri, dSri)."""
-    rdtype = np.zeros(1, dtype=dtype).real.dtype
-    layout = _resolve_layout(N, None, layout)
-    wrapped = layout in ("wrapped", "pallas")
-    w, binv, u = _real_factors(N, rdtype, wrapped=wrapped,
-                               shear=(layout in ("shear", "shear_pallas")))
-    from ..ops.tridiag import packed_laplacian
+    (W, Theta) - first-class twin of :func:`build_step_fn` (the reference has
+    no accelerated magmp at all; reference integrators/mhd.py:235-456 is the
+    CPU semantics source).
 
-    if layout in ("shear", "shear_pallas"):
-        opn = shear_laplacian(N, bc=False)
-        lap_op = np.stack([opn[:, 0, :].T, opn[:, 1, :].T]).astype(rdtype)
-    else:
-        # wrapped AND pallas use the all-N-rows wrapped pack
-        lap_op = packed_laplacian(
-            N, nrows=(N if wrapped else num_rows(N, True)), bc=False
-        ).astype(rdtype)
+    Same production features as the Euler stepper: prefactorized operators
+    enter the jitted program as traced ARGUMENTS (no O(N^2) HLO literals -
+    oversized compile requests break tunneled remote-compile at N>=4096),
+    Kahan compensated summation of the state update (``compsum``), f32
+    mixed-precision solve refinement (``refine``, default 'm0' in f32 on
+    non-row layouts), mesh sharding (``mesh``/``batched``), and adaptive
+    tolerance (``tol``/``minit``; returns per-step iteration counts as an
+    extra output like build_step_fn).
+
+    Planes I/O shape (2, 2, N, N) = (re/im, component, N, N).
+    Returns ``fn(Sri, dSri, cri) -> (Sri, dSri, cri[, iters])``; thread the
+    warm-start/compensation state between calls or pass zeros.
+    """
+    rdtype = np.zeros(1, dtype=dtype).real.dtype
+    layout = _resolve_layout(N, mesh, layout)
+    pad = _mesh_pad_rows(N, mesh, layout)
+    if refine is None:
+        if np.dtype(rdtype) == np.float32 and layout not in ("shard", "scatter"):
+            refine = "m0"
+        else:
+            refine = 0
+    w, binv, u, op = _real_factors(
+        N, rdtype, pad_rows=pad, with_op=True,
+        wrapped=(layout in ("wrapped", "shard", "pallas")),
+        shear=(layout in ("shear", "shear_pallas", "shear_shard")),
+    )
+    lap_op = jnp.asarray(_mhd_lap_op(N, layout, rdtype, pad_rows=pad))
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
     prec = dict(
         highest=lax.Precision.HIGHEST,
@@ -650,53 +865,123 @@ def build_mhd_step_fn(
         default=lax.Precision.DEFAULT,
     )[precision]
 
-    def mm(a, b):
-        return jnp.matmul(a, b, precision=prec)
-
     def _conj_t(A):
         return jnp.conj(jnp.swapaxes(A, -1, -2))
 
-    def fixed_point(S, dS):
-        def it(k, st):
-            dS, _PWc, _BTc = st
+    def _mk(w, binv, u, op, lap_op):
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=prec)
+
+        def _component(S, idx):
+            # batched states are (batch, 2, N, N); components live on axis -3
+            return S[..., idx, :, :]
+
+        def _iterate(S, dS):
             Shalf = S + dS
-            Thalf = Shalf[1]
-            Phalf = _poisson_core(Shalf[0], w, binv, u, layout=layout) * vareps
-            Bhalf = _laplace_core(Thalf, lap_op, layout=layout) * vareps
-            PW = mm(Phalf[None], Shalf)       # (2, N, N): P@W, P@Theta
+            Whalf = _component(Shalf, 0)
+            Thalf = _component(Shalf, 1)
+            Phalf = _poisson_core(
+                Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
+                refine=refine, op=op, layout=layout,
+            ) * vareps
+            Bhalf = _laplace_core(
+                Thalf, lap_op, layout=layout, mesh=mesh, batched=batched,
+            ) * vareps
+            PW = mm(Phalf[..., None, :, :], Shalf)  # (..., 2, N, N)
             BT = mm(Bhalf, Thalf)
-            dS_new = mm(PW, Phalf[None])
+            dS_new = mm(PW, Phalf[..., None, :, :])
             BTP = mm(BT, Phalf)
             PWc = PW - _conj_t(PW)
             BTc = BT - _conj_t(BT)
             dS_new = dS_new + PWc
-            dS_new = dS_new.at[0].add(BTP - _conj_t(BTP) + BTc)
-            return (dS_new, PWc, BTc)
+            extra = BTP - _conj_t(BTP) + BTc
+            mask = np.zeros((2, 1, 1), dtype=bool)
+            mask[0] = True
+            dS_new = dS_new + jnp.where(mask, extra[..., None, :, :],
+                                        jnp.zeros((), dS_new.dtype))
+            return dS_new, PWc, BTc
 
-        z2 = jnp.zeros_like(S)
-        z1 = jnp.zeros_like(S[0])
-        return lax.fori_loop(0, maxit, it, (dS, z2, z1))
+        def fixed_point(S, dS):
+            def it(k, st):
+                dS, _PWc, _BTc = st
+                return _iterate(S, dS)
 
-    def step(carry, _):
-        S, dS = carry
-        dS, PWc, BTc = fixed_point(S, dS)
-        S = S + 2.0 * PWc
-        S = S.at[0].add(2.0 * BTc)
-        return (S, dS), None
+            z2 = jnp.zeros_like(S)
+            z1 = jnp.zeros_like(_component(S, 0))
+            return lax.fori_loop(0, maxit, it, (dS, z2, z1))
+
+        def fixed_point_adaptive(S, dS):
+            tol_j = jnp.asarray(tol, dtype=rdtype)
+            inf = jnp.asarray(np.inf, dtype=rdtype)
+
+            def cond(st):
+                i, _dS, _PWc, _BTc, rn, rn_old = st
+                done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
+                return (i < maxit) & ~done
+
+            def body(st):
+                i, dS, _PWc, _BTc, rn, _rn_old = st
+                dS_new, PWc, BTc = _iterate(S, dS)
+                rn_new = jnp.max(jnp.abs(dS_new - dS))
+                return (i + 1, dS_new, PWc, BTc, rn_new, rn)
+
+            st0 = (jnp.asarray(0, jnp.int32), dS, jnp.zeros_like(S),
+                   jnp.zeros_like(_component(S, 0)), inf, inf)
+            iters, dS, PWc, BTc, _, _ = lax.while_loop(cond, body, st0)
+            return dS, PWc, BTc, iters
+
+        def step(carry, _):
+            S, dS, csum = carry
+            if tol is not None:
+                dS, PWc, BTc, iters = fixed_point_adaptive(S, dS)
+            else:
+                dS, PWc, BTc = fixed_point(S, dS)
+                iters = jnp.asarray(maxit, jnp.int32)
+            # W gets 2(PWc + BTc); Theta gets 2 PThetac (masked elementwise
+            # add - no .at[] scatter, which mispartitions under GSPMD when
+            # the leading axes are sharded)
+            mask = np.zeros((2, 1, 1), dtype=bool)
+            mask[0] = True
+            upd = 2.0 * PWc + jnp.where(
+                mask, 2.0 * BTc[..., None, :, :], jnp.zeros((), S.dtype)
+            )
+            if compsum:
+                y = upd - csum
+                t = S + y
+                csum = (t - S) - y
+                S = t
+            else:
+                S = S + upd
+            return (S, dS, csum), (iters if tol is not None else None)
+
+        return step
 
     @jax.jit
-    def run(S, dS):
-        (S, dS), _ = lax.scan(step, (S, dS), None, length=steps)
-        return S, dS
+    def run(w_, binv_, u_, op_, lap_, S, dS, csum):
+        step = _mk(w_, binv_, u_, op_, lap_)
+        (S, dS, csum), iters = lax.scan(step, (S, dS, csum), None, length=steps)
+        out = (S, dS, csum)
+        if tol is not None:
+            out = out + (iters,)
+        return out
 
     @jax.jit
-    def run_planes(Sri, dSri):
+    def run_planes(w_, binv_, u_, op_, lap_, Sri, dSri, cri):
+        step = _mk(w_, binv_, u_, op_, lap_)
         S = lax.complex(Sri[0], Sri[1])
         dS = lax.complex(dSri[0], dSri[1])
-        (S, dS), _ = lax.scan(step, (S, dS), None, length=steps)
-        return (
+        csum = lax.complex(cri[0], cri[1])
+        (S, dS, csum), iters = lax.scan(step, (S, dS, csum), None, length=steps)
+        out = (
             jnp.stack([S.real, S.imag]),
             jnp.stack([dS.real, dS.imag]),
+            jnp.stack([csum.real, csum.imag]),
         )
+        if tol is not None:
+            out = out + (iters,)
+        return out
 
-    return run_planes if planes_io else run
+    if planes_io:
+        return lambda Sri, dSri, cri: run_planes(w, binv, u, op, lap_op,
+                                                 Sri, dSri, cri)
+    return lambda S, dS, csum: run(w, binv, u, op, lap_op, S, dS, csum)

@@ -6,6 +6,7 @@ import pytest
 
 import quflow_tpu as qf
 from quflow_tpu.integrators import magmp, solve_mhd
+from quflow_tpu.ops.geometry import hbar
 from quflow_tpu.models import MHDFlow
 
 
@@ -65,5 +66,90 @@ def test_mhd_production_stepper(oracle):
     fn = build_mhd_step_fn(12, dtm, steps=20, maxit=8, dtype=np.complex128)
     Sp = jnp.asarray(to_planes(st0))
     z = jnp.zeros_like(Sp)
-    out, _ = fn(Sp, z)
+    out, _, _ = fn(Sp, z, z)
     np.testing.assert_allclose(from_planes(np.asarray(out)), ref, atol=1e-12)
+
+
+def _rand_mhd_state(N, seed=7, scale_theta=0.1):
+    rng = np.random.RandomState(seed)
+
+    def skewh(scale):
+        A = rng.randn(N, N) + 1j * rng.randn(N, N)
+        A = A - A.conj().T
+        A = A - np.eye(N) * np.trace(A) / N
+        return scale * A / np.abs(np.linalg.eigvalsh(-1j * A)).max()
+
+    return np.stack([skewh(1.0), skewh(scale_theta)]).astype(np.complex128)
+
+
+def test_mhd_stepper_adaptive_matches_magmp(oracle):
+    """tol= on the MHD production stepper reproduces magmp's adaptive
+    fixed-point semantics, and returns per-step iteration counts."""
+    import jax.numpy as jnp
+    from quflow_tpu.parallel.stepper import (
+        build_mhd_step_fn, to_planes, from_planes,
+    )
+
+    st0 = oracle["mhd_state0"]
+    dtm = float(oracle["mhd_dt"])
+    fn = build_mhd_step_fn(12, dtm, steps=20, maxit=10, dtype=np.complex128,
+                           compsum=False, tol=1e-10, minit=1)
+    Sp = jnp.asarray(to_planes(st0))
+    z = jnp.zeros_like(Sp)
+    out = fn(Sp, z, z)
+    assert len(out) == 4
+    iters = np.asarray(out[3])
+    assert iters.shape == (20,) and (iters >= 1).all() and (iters <= 10).all()
+    ref = magmp(st0.copy(), dtm, steps=20, tol=1e-10, maxit=10, minit=1)
+    np.testing.assert_allclose(from_planes(np.asarray(out[0])), ref, atol=1e-12)
+
+
+def test_mhd_stepper_compsum_trajectory():
+    """Kahan compensation changes nothing at c128 beyond rounding level."""
+    import jax.numpy as jnp
+    from quflow_tpu.parallel.stepper import (
+        build_mhd_step_fn, to_planes, from_planes,
+    )
+
+    N = 16
+    S = _rand_mhd_state(N)
+    dt = 0.2 * hbar(N)
+    outs = {}
+    for cs in (False, True):
+        fn = build_mhd_step_fn(N, dt, steps=10, maxit=5, dtype=np.complex128,
+                               compsum=cs)
+        Sp = jnp.asarray(to_planes(S))
+        z = jnp.zeros_like(Sp)
+        outs[cs] = from_planes(np.asarray(fn(Sp, z, z)[0]))
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-13)
+
+
+def test_mhd_sharded_step_equals_single():
+    """Mesh parity for the MHD stepper (mirrors
+    test_sharded_step_equals_single): sharded poisson + laplace cores under
+    the O(1)-collective relayout match the single-device trajectory."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from quflow_tpu.parallel import make_mesh
+    from quflow_tpu.parallel.stepper import (
+        build_mhd_step_fn, to_planes, from_planes,
+    )
+
+    N = 32
+    mesh = make_mesh(jax.devices(), dp=1)
+    S = _rand_mhd_state(N, seed=11)
+    dt = 0.2 * hbar(N)
+    fn_mesh = build_mhd_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex128,
+                                compsum=False, mesh=mesh)
+    sh = NamedSharding(mesh, P(None, None, ("i", "j"), None))
+    Sp = jax.device_put(jnp.asarray(to_planes(S)), sh)
+    z = jax.device_put(jnp.zeros_like(Sp), sh)
+    out = from_planes(np.asarray(fn_mesh(Sp, z, z)[0]))
+
+    fn1 = build_mhd_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex128,
+                            compsum=False)
+    Sp1 = jnp.asarray(to_planes(S))
+    z1 = jnp.zeros_like(Sp1)
+    ref = from_planes(np.asarray(fn1(Sp1, z1, z1)[0]))
+    np.testing.assert_allclose(out, ref, atol=1e-11)

@@ -160,12 +160,47 @@ def test_shard_pack_matches_wrapped():
     np.testing.assert_array_equal(np.asarray(back), W)
 
 
-def test_sharded_poisson_o1_collectives():
-    """The mesh Poisson solve relayout must be O(1) collectives: exactly one
+def _collective_counts(txt):
+    import re
+
+    def count(op):
+        return len(re.findall(re.escape(op) + r"\(", txt))
+
+    return {op: count(op) for op in
+            ("all-to-all", "collective-permute", "all-reduce", "all-gather")}
+
+
+def test_sharded_poisson_o1_collectives_wrapped():
+    """The wrapped-layout mesh relayout must be O(1) collectives: exactly one
     all-to-all and one collective-permute per pack/unpack (2 each per solve),
     at most 2 small all-reduces (trace projections), and no all-gather or
     scatter anywhere - the round-1 scatter fallback was ~250x pack-dominated."""
-    import re
+    from quflow_tpu.parallel.shard_pack import flat_mesh_view
+
+    N = 64
+    mesh = make_mesh(jax.devices(), dp=1)
+    fm = flat_mesh_view(mesh)
+    fn = build_poisson_fn(N, dtype=np.complex128, mesh=mesh, planes_io=True,
+                          layout="shard")
+    Wp = jax.device_put(
+        jnp.asarray(to_planes(rsk(N, seed=5))),
+        NamedSharding(fm, P(None, "tp", None)),
+    )
+    txt = jax.jit(fn).lower(Wp).compile().as_text()
+    c = _collective_counts(txt)
+    assert c["all-to-all"] == 2, c
+    assert c["collective-permute"] == 2, c
+    assert c["all-reduce"] <= 2, c
+    assert c["all-gather"] == 0, c
+    assert " scatter(" not in txt
+
+
+def test_sharded_poisson_o1_collectives_shear():
+    """The default mesh layout (sharded shear) must do strictly cheaper
+    communication: NO all-to-all at all (the shear pack is a flat reshape -
+    only the shard-boundary overlap moves, one neighbor ppermute each way),
+    plus a handful of tiny carry/m0 all-gathers (O(s*N) elements) for the
+    distributed affine scan."""
     from quflow_tpu.parallel.shard_pack import flat_mesh_view
 
     N = 64
@@ -177,15 +212,12 @@ def test_sharded_poisson_o1_collectives():
         NamedSharding(fm, P(None, "tp", None)),
     )
     txt = jax.jit(fn).lower(Wp).compile().as_text()
-
-    def count(op):
-        return len(re.findall(re.escape(op) + r"\(", txt))
-
-    assert count("all-to-all") == 2, txt.count("all-to-all")
-    assert count("collective-permute") == 2
-    assert count("all-reduce") <= 2
-    assert count("all-gather") == 0
-    assert count(" scatter") == 0
+    c = _collective_counts(txt)
+    assert c["all-to-all"] == 0, c
+    assert c["collective-permute"] == 2, c
+    # carries: fwd+bwd per re/im channel; each gathers s*(N+1) elements
+    assert c["all-gather"] <= 8, c
+    assert " scatter(" not in txt
 
 
 def test_sharded_step_contains_collectives():

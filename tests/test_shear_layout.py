@@ -126,7 +126,7 @@ def test_mhd_stepper_shear_equals_rolls():
         fn = build_mhd_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex128,
                                planes_io=True, layout=layout)
         Sp = jnp.asarray(np.stack([S.real, S.imag]))
-        st = fn(Sp, jnp.zeros_like(Sp))
+        st = fn(Sp, jnp.zeros_like(Sp), jnp.zeros_like(Sp))
         outs[layout] = np.asarray(st[0])
     np.testing.assert_allclose(outs["auto"], outs["rolls"], atol=1e-12)
 
@@ -154,7 +154,7 @@ def test_mhd_stepper_pallas_equals_rolls():
         fn = build_mhd_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex128,
                                planes_io=True, layout=layout)
         Sp = jnp.asarray(np.stack([S.real, S.imag]))
-        st = fn(Sp, jnp.zeros_like(Sp))
+        st = fn(Sp, jnp.zeros_like(Sp), jnp.zeros_like(Sp))
         outs[layout] = np.asarray(st[0])
         assert np.isfinite(outs[layout]).all(), layout
     np.testing.assert_allclose(outs["pallas"], outs["rolls"], atol=1e-11)
