@@ -175,13 +175,20 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
 
     v = float(run(Wri))  # compile + warm
     assert np.isfinite(v), "NaN/Inf in benchmark state"
-    best = np.inf
-    # best-of-5: single runs through the shared tunnel vary ~10%
+    # 5 timed runs: single runs through the shared tunnel vary ~10%, so
+    # report the median and keep the spread (VERDICT r2 #9: quote
+    # median +- spread, not a bare 3-4 significant digit best)
+    times = []
     for _ in range(5):
         t0 = time.time()
         float(run(Wri))
-        best = min(best, time.time() - t0)
-    sec_per_step = max(best - latency, 1e-9) / steps
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    sec_per_step = max(float(np.median(times)) - latency, 1e-9) / steps
+    spread_pct = float(
+        100.0 * (times.max() - times.min()) / max(np.median(times), 1e-9)
+    )
+    measure_step.last_spread_pct = round(spread_pct, 1)
 
     # enough reps that the chained-solve wall time dwarfs the ~25 ms sync
     # latency even at small N (at N=512 a solve is ~0.1 ms)
@@ -260,6 +267,7 @@ def run_sweep(only=None):
                 "precision": prec,
                 "refine": "m0" if layout.startswith("shear") else 0,
                 "steps_per_sec": round(1.0 / sec, 2),
+                "run_spread_pct": getattr(measure_step, "last_spread_pct", None),
                 "poisson_core_ms": round(pms, 3),
             }
             entry.update(roofline(N, sec, pms, prec))
@@ -342,6 +350,7 @@ def main():
         "value": round(1.0 / tpu_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "run_spread_pct": getattr(measure_step, "last_spread_pct", None),
         "mfu": roofline(N_HEADLINE, tpu_sec, poisson_ms, PRECISION),
     }
     if os.path.exists(SWEEP_PATH):

@@ -104,11 +104,18 @@ def main():
             Wp = jnp.asarray(Wp0)
         st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
         series = []
+        # first chunk compiles (20-80 s through the tunnel): run it before
+        # starting the clock, else steps/s is compile-dominated and wildly
+        # inconsistent between near-identical configs (the round-2 artifact's
+        # 16.7-vs-168.8 maxit-5 rows were exactly this)
+        *st, diag = fn(*st)
+        series.append(np.asarray(diag))
         t0 = time.time()
-        for _ in range(args.steps // args.chunk):
+        for _ in range(args.steps // args.chunk - 1):
             *st, diag = fn(*st)
             series.append(np.asarray(diag))  # [energy, enstrophy] scalars
         el = time.time() - t0
+        timed_steps = args.steps - args.chunk
         series = np.asarray(series, dtype=np.float64)
         Wf = from_planes(np.asarray(st[0])).astype(np.complex128)
         spec = np.sort(np.linalg.eigvalsh(-1j * Wf))
@@ -117,7 +124,7 @@ def main():
         zd = abs(float(qf.enstrophy(Wf)) - z0)
         # time-resolved drift within the on-device series itself
         sd = float(np.abs(series[:, 0] - series[0, 0]).max())
-        sps = args.steps / el
+        sps = timed_steps / el  # compile excluded
         print(f"{name:<28}{cd:>12.3e}{ed:>12.3e}{zd:>12.3e}{sd:>14.3e}"
               f"{sps:>9.1f}")
         results["rows"][name] = {

@@ -158,9 +158,19 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         d = mat2shear(W, tracefree=True)
         base = None
         if layout == "shear_pallas":
-            from ..ops.pallas_solve import pallas_base_cols
+            import os
 
-            base = pallas_base_cols(w, binv, u)
+            # 'scan' = blocked-affine-scan kernel (log2(chunk) full-width
+            # VPU passes per block); 'thomas' = the round-2 serial kernel
+            # (CH latency-bound row ops per block).
+            if os.environ.get("QUFLOW_PALLAS_KERNEL", "thomas") == "scan":
+                from ..ops.pallas_scan_solve import scan_base_cols
+
+                base = scan_base_cols(w, binv, u)
+            else:
+                from ..ops.pallas_solve import pallas_base_cols
+
+                base = pallas_base_cols(w, binv, u)
         x = solve_factored(
             _Fac(w, binv, u), d, refine=refine_full, op=op, axis=-2,
             base=base,
