@@ -578,7 +578,7 @@ class IsompTPU:
 
     def __init__(self, maxit=5, precision="highest", compsum=True, refine=None,
                  dtype=np.complex64, mesh=None, batched=False, tol=None,
-                 minit=1):
+                 minit=1, warm=True):
         self.maxit = maxit
         self.precision = precision
         self.compsum = compsum
@@ -588,6 +588,12 @@ class IsompTPU:
         self.batched = batched
         self.tol = tol
         self.minit = minit
+        # warm=True threads dW (fixed-point warm start) and the Kahan
+        # compensation between calls - fastest.  warm=False makes each call
+        # a pure function of (W, dt, steps) like the reference integrators,
+        # which is what makes checkpoint/restart bit-exact across session
+        # boundaries (reference tests/test_simulation.py:147-168 contract).
+        self.warm = warm
         self._fns = {}
         self._state = None  # (dW, csum) device planes
         self.stats = {}
@@ -607,7 +613,8 @@ class IsompTPU:
         W_in = np.asarray(W)
         rd = np.float32 if self.dtype == np.complex64 else np.float64
         Wp = jnp.asarray(to_planes(W_in).astype(rd))
-        if self._state is None or self._state[0].shape != Wp.shape:
+        if (not self.warm or self._state is None
+                or self._state[0].shape != Wp.shape):
             z = jnp.zeros_like(Wp)
             self._state = (z, z)
         dW, csum = self._state
