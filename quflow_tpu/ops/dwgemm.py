@@ -67,20 +67,59 @@ def dw_split(A, t, q, axis):
 
     Returns a list of q bf16 arrays whose (f64) sum reconstructs A to
     t*q bits.
+
+    f64 elementwise is software-emulated on TPU and the naive q-round loop
+    (4 f64 ops per slice) costs as much as the matmuls themselves, so the
+    split cascades through THREE levels extracted with f64 (9 f64 ops
+    total), each holding <= 21 bits and therefore exactly representable in
+    f32; the per-level slices are then peeled off in cheap f32 arithmetic.
     """
     A = jnp.asarray(A)
+    f64 = A.dtype == jnp.float64
     mu = jnp.max(jnp.abs(A), axis=axis, keepdims=True)
     # power-of-two >= mu; zero rows get grid 1.0 (their slices are all zero)
     e = jnp.exp2(jnp.ceil(jnp.log2(jnp.where(mu > 0, mu, 1.0))))
+    if not f64:
+        # f32 input: plain loop (f32 elementwise is native)
+        slices = []
+        resid = A
+        for s in range(q):
+            g = (e * (2.0 ** (-t * (s + 1)))).astype(A.dtype)
+            sl = jnp.round(resid / g) * g
+            resid = resid - sl
+            slices.append(sl.astype(jnp.bfloat16))
+        return slices
+
+    # ---- f64 fast path: cascade of 3t-bit levels, f32 slice extraction ----
+    # scaled to [-1, 1] exactly (e is a power of two)
+    scaled = A / e
+    lvl_bits = 3 * t  # bits per f32 level; 3t <= 24 for t <= 8
+    n_levels = (q + 2) // 3
+    levels = []
+    resid64 = scaled
+    for li in range(n_levels - 1):
+        sc = 2.0 ** (lvl_bits * (li + 1))
+        lv = jnp.round(resid64 * sc) / sc       # bits [3t*li, 3t*(li+1))
+        # rescale the level to O(1) on its own scale (exact: powers of two)
+        levels.append((lv * 2.0 ** (lvl_bits * li)).astype(jnp.float32))
+        resid64 = resid64 - lv
+    levels.append(
+        (resid64 * 2.0 ** (lvl_bits * (n_levels - 1))).astype(jnp.float32)
+    )
+    e32 = e.astype(jnp.float32)
     slices = []
-    resid = A
-    for s in range(q):
-        g = e * (2.0 ** (-t * (s + 1)))
-        # integer part on this grid: |round(resid/g)| <= 2^t, exact in bf16
-        sl = jnp.round(resid / g) * g
-        resid = resid - sl
-        slices.append(sl.astype(jnp.bfloat16))
-    return slices
+    for li, lev in enumerate(levels):
+        resid = lev
+        for sj in range(3):
+            if 3 * li + sj >= q:
+                break
+            gl = np.float32(2.0 ** (-t * (sj + 1)))  # grid on this level
+            sl = jnp.round(resid / gl) * gl
+            resid = resid - sl
+            # restore the global scale: level li sits at 2^(-3t*li) * e
+            scale = e32 * np.float32(2.0 ** (-lvl_bits * li))
+            slices.append((sl * scale).astype(jnp.bfloat16))
+    return slices[:q]
 
 
 def _pair_products(asl, bsl, q, out_dtype):

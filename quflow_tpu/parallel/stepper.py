@@ -669,6 +669,8 @@ def build_dw_step_fn(
     compsum=True,
     target_bits=50,
     with_diagnostics=False,
+    tol=None,
+    minit=1,
 ):
     """Jitted multi-step isospectral-midpoint runner in double-word precision.
 
@@ -690,8 +692,18 @@ def build_dw_step_fn(
     eigensolver noise); f32x4+dwx1 56 steps/s but 1.5e-10 (one dw pass does
     not clean dW enough).  ``dw_iters=maxit`` gives the pure-dw schedule.
 
-    Returns ``fn(Wp, dWp, cp) -> (Wp, dWp, cp)`` like build_step_fn with
-    planes_io (same warm-started dW / Kahan compensation threading).
+    ``tol``: a float switches the dw phase to a lax.while_loop with the
+    reference's converged/stalled exit (residual inf-norm of dW between
+    iterations), capped at ``maxit`` total dw iterations after the fixed
+    f32 warm phase; per-step dw iteration counts come back as an extra
+    (steps,) int32 output.  The per-step Casimir error of the scheme is
+    linear in the final fixed-point residual, so driving the residual to
+    the f64 stall floor is what the long-run conservation gate needs once
+    the flow is turbulent (fixed small dw_iters leaves a kappa^k-limited
+    residual that grows with the spectral radius of the iteration).
+
+    Returns ``fn(Wp, dWp, cp) -> (Wp, dWp, cp[, iters])`` like build_step_fn
+    with planes_io (same warm-started dW / Kahan compensation threading).
 
     This mode exists for the conservation gate (Casimir drift <1e-10 over
     long runs, BASELINE.md): expect ~4-8x the step cost of the f32
@@ -743,11 +755,45 @@ def build_dw_step_fn(
 
             if maxit > dw_iters:
                 st = lax.fori_loop(0, maxit - dw_iters, it_f32, st)
-            return lax.fori_loop(0, dw_iters, it_dw, st)
+            dWp, PWc = lax.fori_loop(0, dw_iters, it_dw, st)
+            return dWp, PWc, jnp.asarray(maxit, jnp.int32)
+
+        def fixed_point_adaptive(Wp, dWp):
+            """f32 warm phase (maxit - dw_iters fixed iterations, dw_iters
+            reinterpreted as the warm-phase complement), then dw iterations
+            under a while_loop until the residual converges to ``tol`` or
+            stalls at the f64 floor, capped at ``maxit`` dw iterations."""
+            st = (dWp, jnp.zeros_like(Wp))
+            if maxit > dw_iters:
+                def it_f32(k, st):
+                    return _iterate(Wp, st[0], _f32_mm_planes)
+
+                st = lax.fori_loop(0, maxit - dw_iters, it_f32, st)
+            dWp, PWc = st
+            tol_j = jnp.asarray(tol, dtype=jnp.float64)
+            inf = jnp.asarray(np.inf, dtype=jnp.float64)
+
+            def cond(s):
+                i, _dW, _PWc, rn, rn_old = s
+                done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
+                return (i < maxit) & ~done
+
+            def body(s):
+                i, dW, _PWc, rn, _rn_old = s
+                dW_new, PWc = _iterate(Wp, dW, _dw_mm)
+                rn_new = jnp.max(jnp.abs(dW_new - dW))
+                return (i + 1, dW_new, PWc, rn_new, rn)
+
+            s0 = (jnp.asarray(0, jnp.int32), dWp, PWc, inf, inf)
+            iters, dWp, PWc, _, _ = lax.while_loop(cond, body, s0)
+            return dWp, PWc, iters
 
         def step(carry, _):
             Wp, dWp, cp = carry
-            dWp, PWc = fixed_point(Wp, dWp)
+            if tol is not None:
+                dWp, PWc, iters = fixed_point_adaptive(Wp, dWp)
+            else:
+                dWp, PWc, iters = fixed_point(Wp, dWp)
             upd = 2.0 * PWc
             if compsum:
                 y = upd - cp
@@ -756,7 +802,7 @@ def build_dw_step_fn(
                 Wp = t
             else:
                 Wp = Wp + upd
-            return (Wp, dWp, cp), None
+            return (Wp, dWp, cp), (iters if tol is not None else None)
 
         def diagnostics(Wp):
             Pp = _poisson_planes(Wp, w_, binv_, u_)
@@ -770,10 +816,13 @@ def build_dw_step_fn(
     @jax.jit
     def run(w_, binv_, u_, Wp, dWp, cp):
         step, diagnostics = _mk(w_, binv_, u_)
-        (Wp, dWp, cp), _ = lax.scan(step, (Wp, dWp, cp), None, length=steps)
+        (Wp, dWp, cp), iters = lax.scan(step, (Wp, dWp, cp), None, length=steps)
+        out = (Wp, dWp, cp)
+        if tol is not None:
+            out = out + (iters,)
         if with_diagnostics:
-            return Wp, dWp, cp, diagnostics(Wp)
-        return Wp, dWp, cp
+            out = out + (diagnostics(Wp),)
+        return out
 
     return lambda Wp, dWp, cp: run(w, binv, u, Wp, dWp, cp)
 

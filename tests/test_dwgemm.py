@@ -95,3 +95,21 @@ def test_dw_stepper_diagnostics():
     e, z2 = np.asarray(diag)
     assert abs(e - float(qf.energy_euler(W0))) < 1e-6
     assert abs(z2 - float(qf.enstrophy(W0))) < 1e-6
+
+
+def test_dw_stepper_adaptive_reaches_f64_floor():
+    """tol-mode dw stepping: the while_loop drives the residual to the f64
+    stall floor (6-7 iterations at N=32) and the trajectory matches the
+    complex128 host integrator to machine precision."""
+    N = 32
+    W0 = qf.shr2mat(qf.random_shr(lmax=7, seed=3), N=N).astype(np.complex128)
+    dt = 0.2 * qf.hbar(N)
+    fn = build_dw_step_fn(N, dt, steps=20, maxit=20, dw_iters=18, tol=1e-16)
+    Wp = jnp.asarray(to_planes(W0))
+    z = jnp.zeros_like(Wp)
+    Wp_o, _, _, iters = fn(Wp, z, z)
+    it = np.asarray(iters)
+    assert it.shape == (20,) and (it >= 2).all() and (it < 20).all()
+    ref = qf.isomp(W0.copy(), dt, 20, tol=1e-18, maxit=22, minit=1,
+                   compsum=True)
+    np.testing.assert_allclose(from_planes(np.asarray(Wp_o)), ref, atol=1e-14)

@@ -343,3 +343,22 @@ def test_stepper_adaptive_under_mesh():
     z1 = jnp.zeros_like(Wp1)
     ref = from_planes(np.asarray(fn1(Wp1, z1, z1)[0]))
     np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+def test_isomptpu_cold_restart_bit_exact():
+    """IsompTPU(warm=False) is a pure function of (W, dt, steps): splitting
+    a run across two integrator instances (the checkpoint/restart session
+    boundary) is bit-exact vs one instance straight through."""
+    from quflow_tpu.parallel.stepper import IsompTPU
+
+    N = 24
+    W0 = rsk(N, seed=13)
+    dt = 0.2 * qf.hbar(N)
+    a = IsompTPU(maxit=5, dtype=np.complex128, warm=False)
+    W_mid = a(W0.copy(), dt, steps=10)
+    b = IsompTPU(maxit=5, dtype=np.complex128, warm=False)
+    W_two = b(W_mid.copy(), dt, steps=10)
+    c = IsompTPU(maxit=5, dtype=np.complex128, warm=False)
+    W_one = c(W0.copy(), dt, steps=10)
+    W_one = c(W_one, dt, steps=10)
+    np.testing.assert_array_equal(W_two, W_one)
