@@ -38,6 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["solve_scan_chunked", "scan_base_cols"]
 
 
+def _shift_down(x, s):
+    """x shifted down s rows along axis 0, top filled with identity values
+    supplied by the caller's mask (the fill rows are masked out, so their
+    content is irrelevant - a static slice + concat avoids tpu.dynamic_rotate,
+    which fails Mosaic verification on v5e)."""
+    return jnp.concatenate([x[:s, :], x[:-s, :]], axis=0)
+
+
 def _block_affine_scan(c, v):
     """Inclusive affine-prefix scan along axis 0 of (CH, T) blocks:
     returns (C, y0) with C the composed coefficient prefix and y0 the
@@ -48,12 +56,8 @@ def _block_affine_scan(c, v):
         # rows >= s compose with the prefix ending s rows above; rows < s
         # compose with the identity map (1, 0)
         mask = lax.broadcasted_iota(jnp.int32, c.shape, 0) >= s
-        c_sh = pltpu.roll(c, s, 0)
-        v_sh = pltpu.roll(v, s, 0)
-        ones = jnp.ones_like(c)
-        zeros = jnp.zeros_like(v)
-        c_prev = jnp.where(mask, c_sh, ones)
-        v_prev = jnp.where(mask, v_sh, zeros)
+        c_prev = jnp.where(mask, _shift_down(c, s), jnp.ones_like(c))
+        v_prev = jnp.where(mask, _shift_down(v, s), jnp.zeros_like(v))
         c, v = c * c_prev, v + c * v_prev
         s *= 2
     return c, v
@@ -71,24 +75,39 @@ def _fwd_scan_kernel(w_ref, d_ref, y_ref, carry):
     carry[0, :] = y[y.shape[0] - 1, :]
 
 
-def _bwd_scan_kernel(binv_ref, u_ref, y_ref, x_ref, carry):
-    """Back substitution x_i = y_i binv_i - u_i x_{i+1}, chunks reversed.
+def _shift_up(x, s):
+    """x shifted up s rows along axis 0 (fill rows are masked by caller)."""
+    return jnp.concatenate([x[s:, :], x[-s:, :]], axis=0)
 
-    The within-chunk reversal is folded into the scan by flipping the block,
-    scanning forward, and flipping back.
-    """
+
+def _block_affine_scan_up(c, v):
+    """Suffix (bottom-up) affine scan along axis 0: evaluates the upward
+    recurrence x_i = c_i x_{i+1} + v_i with zero carry below the block
+    (jnp.flip is not lowerable in Mosaic, so the reversal is built into the
+    shift direction instead)."""
+    CH = c.shape[0]
+    s = 1
+    while s < CH:
+        mask = lax.broadcasted_iota(jnp.int32, c.shape, 0) < (CH - s)
+        c_next = jnp.where(mask, _shift_up(c, s), jnp.ones_like(c))
+        v_next = jnp.where(mask, _shift_up(v, s), jnp.zeros_like(v))
+        c, v = c * c_next, v + c * v_next
+        s *= 2
+    return c, v
+
+
+def _bwd_scan_kernel(binv_ref, u_ref, y_ref, x_ref, carry):
+    """Back substitution x_i = y_i binv_i - u_i x_{i+1}, chunks visited in
+    reverse grid order with the carry crossing chunk boundaries."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         carry[0, :] = jnp.zeros_like(carry[0, :])
 
-    CH = y_ref.shape[0]
     g = y_ref[...] * binv_ref[...]
-    cf = jnp.flip(-u_ref[...], 0)
-    vf = jnp.flip(g, 0)
-    C, x0 = _block_affine_scan(cf, vf)
+    C, x0 = _block_affine_scan_up(-u_ref[...], g)
     x = x0 + C * carry[0, :][None, :]
-    x_ref[...] = jnp.flip(x, 0)
-    carry[0, :] = x[CH - 1, :]
+    x_ref[...] = x
+    carry[0, :] = x[0, :]
 
 
 @partial(jax.jit, static_argnames=("tile", "chunk", "interpret"))

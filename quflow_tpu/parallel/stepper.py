@@ -827,6 +827,130 @@ def build_dw_step_fn(
     return lambda Wp, dWp, cp: run(w, binv, u, Wp, dWp, cp)
 
 
+def build_planes_step_fn(
+    N,
+    dt,
+    steps=1,
+    maxit=5,
+    precision="highest_karatsuba",
+    compsum=True,
+    refine=None,
+    layout="auto",
+    with_diagnostics=False,
+):
+    """Planes-native f32 stepper: the state stays as split-real (2, N, N)
+    float32 planes END TO END - no complex arrays anywhere in the program.
+
+    Motivation (measured at N=4096 on v5e): the complex stepper's poisson
+    core costs 9.6 ms of which the Pallas Thomas kernel is only 1.6 ms -
+    the rest is real/imag extraction, stacking, and re-complexification
+    copies around the solve (complex arrays are single XLA buffers, so
+    every .real/.imag/lax.complex materializes N^2).  On planes the shear
+    pack is a reshape of each plane and the kernel consumes the planes
+    directly; the GEMMs run as explicit real matmuls (Karatsuba 3-mult by
+    default), which is the same MXU work the complex lowering does.
+
+    Single-chip shear layouts only; same I/O contract as build_step_fn with
+    planes_io (fn(Wri, dWri, cri) -> triple).
+    """
+    rdtype = np.float32
+    layout = _resolve_layout(N, None, layout)
+    if layout not in ("shear", "shear_pallas"):
+        raise ValueError("build_planes_step_fn supports shear layouts only")
+    if refine is None:
+        refine = "m0"
+    m0_only = refine == "m0"
+    refine_full = 0 if m0_only else refine
+    w, binv, u, op = _real_factors(N, rdtype, with_op=True, shear=True)
+    vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
+    prec = dict(
+        highest=lax.Precision.HIGHEST,
+        high=lax.Precision.HIGH,
+        default=lax.Precision.DEFAULT,
+    )[precision.replace("_karatsuba", "")]
+    karatsuba = precision.endswith("_karatsuba")
+
+    def mm_planes(Ap, Bp):
+        ar, ai = Ap[0], Ap[1]
+        br, bi = Bp[0], Bp[1]
+        if karatsuba:
+            t1 = jnp.matmul(ar, br, precision=prec)
+            t2 = jnp.matmul(ai, bi, precision=prec)
+            t3 = jnp.matmul(ar + ai, br + bi, precision=prec)
+            return jnp.stack([t1 - t2, t3 - t1 - t2])
+        re = jnp.matmul(ar, br, precision=prec) - jnp.matmul(ai, bi, precision=prec)
+        im = jnp.matmul(ar, bi, precision=prec) + jnp.matmul(ai, br, precision=prec)
+        return jnp.stack([re, im])
+
+    def _mk(w_, binv_, u_, op_):
+        base = None
+        if layout == "shear_pallas":
+            import os
+
+            if os.environ.get("QUFLOW_PALLAS_KERNEL", "thomas") == "scan":
+                from ..ops.pallas_scan_solve import scan_base_cols
+
+                base = scan_base_cols(w_, binv_, u_)
+            else:
+                from ..ops.pallas_solve import pallas_base_cols
+
+                base = pallas_base_cols(w_, binv_, u_)
+
+        def poisson_planes(Wp):
+            d = mat2shear(Wp, tracefree=True)      # (2, N, N+1) f32
+            x = solve_factored(
+                _Fac(w_, binv_, u_), d, refine=refine_full, op=op_,
+                axis=-2, base=base,
+            )
+            if m0_only:
+                x = refine_m0(x, d, op_, axis=-2)
+            x = subtract_col0_mean(x)
+            return shear2mat(x)
+
+        def _iterate(Wp, dWp):
+            Whp = Wp + dWp
+            Php = poisson_planes(Whp) * vareps
+            PWp = mm_planes(Php, Whp)
+            PWc = PWp - _conj_t_planes(PWp)
+            dW_new = mm_planes(PWp, Php) + PWc
+            return dW_new, PWc
+
+        def step(carry, _):
+            Wp, dWp, cp = carry
+
+            def it(k, st):
+                return _iterate(Wp, st[0])
+
+            dWp, PWc = lax.fori_loop(0, maxit, it, (dWp, jnp.zeros_like(Wp)))
+            upd = 2.0 * PWc
+            if compsum:
+                y = upd - cp
+                t = Wp + y
+                cp = (t - Wp) - y
+                Wp = t
+            else:
+                Wp = Wp + upd
+            return (Wp, dWp, cp), None
+
+        def diagnostics(Wp):
+            Pp = poisson_planes(Wp)
+            inner_WP = jnp.sum(Wp[0] * Pp[0] + Wp[1] * Pp[1]) / N
+            inner_WW = jnp.sum(Wp[0] ** 2 + Wp[1] ** 2) / N
+            return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0])
+
+        return step, diagnostics
+
+    @jax.jit
+    def run(w_, binv_, u_, op_, Wp, dWp, cp):
+        step, diagnostics = _mk(w_, binv_, u_, op_)
+        (Wp, dWp, cp), _ = lax.scan(step, (Wp, dWp, cp), None, length=steps)
+        if with_diagnostics:
+            return Wp, dWp, cp, diagnostics(Wp)
+        return Wp, dWp, cp
+
+    return lambda Wp, dWp, cp: run(w, binv, u, op, Wp, dWp, cp)
+
+
 # ---------------------------------------------------------------------------
 # MHD production stepper (magnetic midpoint; the reference has no GPU path
 # for magmp - this is new TPU-native capability)
