@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--only", default=None,
                         help="run only configs whose name contains this; "
                              "merge into the existing artifact")
+    parser.add_argument("--casimir-every", type=int, default=0,
+                        help="also measure Casimir drift on host every this "
+                             "many steps (0 = final state only); gives the "
+                             "drift-vs-time curve for long runs")
     args = parser.parse_args()
 
     import numpy as np
@@ -70,6 +74,14 @@ def main():
         ("c64 plain maxit5", 5, False, 0),
         ("dw f32x3+dwx2 maxit5", 5, True, ("dw", 2)),  # high-precision default
         ("dw pure maxit6", 6, True, ("dw", 6)),
+        # the conservation-gate config: 3 fixed f32 warm iterations, then dw
+        # iterations under a while_loop until the residual reaches the f64
+        # stall floor (capped at 12).  Fixed small dw_iters leaves a residual
+        # that grows with the flow's spectral radius - at 1e5 steps the
+        # turbulent regime pushes f32x3+dwx2 to 1.25e-7 Casimir while the
+        # 10k-step drift is 1.28e-11; adaptive keeps the per-step residual at
+        # the floor throughout.
+        ("dw adaptive floor", 12, True, ("dw_adaptive", 9)),
     ]
     results = {
         "config": f"N={N}, dt=0.25*hbar, {args.steps} steps, production "
@@ -89,7 +101,18 @@ def main():
     for name, maxit, compsum, refine in configs:
         if args.only and args.only not in name:
             continue
-        if isinstance(refine, tuple) and refine[0] == "dw":
+        adaptive = isinstance(refine, tuple) and refine[0] == "dw_adaptive"
+        if adaptive:
+            # stall-floor tolerance: eps64 * (dt/(2*hbar)) * ||W0||_inf; the
+            # while_loop also exits on residual non-decrease (the f64 floor)
+            tol = float(np.finfo(np.float64).eps) * 0.25 * float(
+                np.abs(W0).max())
+            fn = build_dw_step_fn(
+                N, dt, steps=args.chunk, maxit=maxit, dw_iters=refine[1],
+                compsum=compsum, with_diagnostics=True, tol=tol, minit=2,
+            )
+            Wp = jnp.asarray(to_planes(W0.astype(np.complex128)))
+        elif isinstance(refine, tuple) and refine[0] == "dw":
             fn = build_dw_step_fn(
                 N, dt, steps=args.chunk, maxit=maxit, dw_iters=refine[1],
                 compsum=compsum, with_diagnostics=True,
@@ -104,17 +127,42 @@ def main():
             Wp = jnp.asarray(Wp0)
         st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
         series = []
+        iter_chunks = []
+        casimir_series = []  # (step, drift) milestones for long runs
+
+        def call(st):
+            out = fn(*st)
+            if adaptive:  # extra (chunk,) per-step dw iteration counts
+                iter_chunks.append(np.asarray(out[3]))
+                return list(out[:3]), out[4]
+            return list(out[:3]), out[3]
+
+        def casimir_now(st, step_no):
+            Wnow = from_planes(np.asarray(st[0])).astype(np.complex128)
+            drift = float(np.abs(
+                np.sort(np.linalg.eigvalsh(-1j * Wnow)) - spec0).max())
+            casimir_series.append([step_no, drift])
+            print(f"  [{name}] step {step_no}: Casimir {drift:.3e}",
+                  flush=True)
+
         # first chunk compiles (20-80 s through the tunnel): run it before
         # starting the clock, else steps/s is compile-dominated and wildly
         # inconsistent between near-identical configs (the round-2 artifact's
         # 16.7-vs-168.8 maxit-5 rows were exactly this)
-        *st, diag = fn(*st)
+        st, diag = call(st)
         series.append(np.asarray(diag))
         t0 = time.time()
-        for _ in range(args.steps // args.chunk - 1):
-            *st, diag = fn(*st)
+        paused = 0.0
+        for k in range(args.steps // args.chunk - 1):
+            st, diag = call(st)
             series.append(np.asarray(diag))  # [energy, enstrophy] scalars
-        el = time.time() - t0
+            done = (k + 2) * args.chunk
+            if (args.casimir_every and done % args.casimir_every == 0
+                    and done < args.steps):
+                tp = time.time()
+                casimir_now(st, done)
+                paused += time.time() - tp
+        el = time.time() - t0 - paused
         timed_steps = args.steps - args.chunk
         series = np.asarray(series, dtype=np.float64)
         Wf = from_planes(np.asarray(st[0])).astype(np.complex128)
@@ -127,7 +175,7 @@ def main():
         sps = timed_steps / el  # compile excluded
         print(f"{name:<28}{cd:>12.3e}{ed:>12.3e}{zd:>12.3e}{sd:>14.3e}"
               f"{sps:>9.1f}")
-        results["rows"][name] = {
+        row = {
             "maxit": maxit, "compsum": compsum, "refine": refine,
             "steps": args.steps,
             "casimir_drift": cd, "energy_drift": ed, "enstrophy_drift": zd,
@@ -136,6 +184,16 @@ def main():
                                           for x in series[:, 0]],
             "steps_per_sec": round(sps, 1),
         }
+        if adaptive:
+            its = np.concatenate(iter_chunks)
+            row["dw_iterations"] = {
+                "mean": round(float(its.mean()), 2),
+                "max": int(its.max()), "min": int(its.min()),
+            }
+        if casimir_series:
+            row["casimir_drift_milestones"] = casimir_series + [
+                [args.steps, cd]]
+        results["rows"][name] = row
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
     print(f"written {out_path}")
