@@ -371,6 +371,8 @@ def build_step_fn(
     with_diagnostics=False,
     tol=None,
     minit=1,
+    warm_precision=None,
+    warm_iters=None,
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
 
@@ -398,6 +400,21 @@ def build_step_fn(
     iteration) inserted by GSPMD.  In adaptive mode the runner returns one
     extra output: the per-step iteration counts, shape (steps,) int32 (the
     reference's iterations-vs-time health diagnostic).
+
+    ``warm_precision``/``warm_iters``: mixed-precision fixed-point schedule.
+    The first ``warm_iters`` iterations (default maxit - 2 when
+    warm_precision is set) run their GEMMs at ``warm_precision`` (e.g.
+    'high' = 3-pass bf16) and the remaining iterations at ``precision``.
+    The fixed point contracts regardless of per-iteration GEMM precision -
+    early iterations only need enough accuracy to keep converging, and the
+    final iterations determine the update's accuracy (the same schedule the
+    double-word stepper uses with f32 warm iterations, build_dw_step_fn).
+    GEMMs dominate the step at N >= 1024, so 'high' warm iterations cut
+    wall-clock ~25-35% at unchanged trajectory accuracy (validated on
+    device: see benchmarks/mixed_precision.json).  In adaptive (tol) mode
+    the warm phase is ``warm_iters`` fixed iterations before the
+    full-precision while_loop, and the iteration-count output includes only
+    the full-precision iterations.
     """
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     layout = _resolve_layout(N, mesh, layout)
@@ -425,26 +442,33 @@ def build_step_fn(
         shear=(layout in ("shear", "shear_pallas", "shear_shard")),
     )
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
-    prec = dict(
-        highest=lax.Precision.HIGHEST,
-        high=lax.Precision.HIGH,
-        default=lax.Precision.DEFAULT,
-    )[precision.replace("_karatsuba", "")]
-    karatsuba = precision.endswith("_karatsuba")
 
-    if karatsuba:
-        # complex matmul as 3 real matmuls (Karatsuba): 25% fewer MXU passes
-        # than the 4-matmul lowering at multi-pass precisions.
-        def mm(a, b):
-            ar, ai = a.real, a.imag
-            br, bi = b.real, b.imag
-            t1 = jnp.matmul(ar, br, precision=prec)
-            t2 = jnp.matmul(ai, bi, precision=prec)
-            t3 = jnp.matmul(ar + ai, br + bi, precision=prec)
-            return lax.complex(t1 - t2, t3 - t1 - t2)
-    else:
-        def mm(a, b):
-            return jnp.matmul(a, b, precision=prec)
+    def _make_mm(spec):
+        p = dict(
+            highest=lax.Precision.HIGHEST,
+            high=lax.Precision.HIGH,
+            default=lax.Precision.DEFAULT,
+        )[spec.replace("_karatsuba", "")]
+        if spec.endswith("_karatsuba"):
+            # complex matmul as 3 real matmuls (Karatsuba): 25% fewer MXU
+            # passes than the 4-matmul lowering at multi-pass precisions.
+            def mm(a, b):
+                ar, ai = a.real, a.imag
+                br, bi = b.real, b.imag
+                t1 = jnp.matmul(ar, br, precision=p)
+                t2 = jnp.matmul(ai, bi, precision=p)
+                t3 = jnp.matmul(ar + ai, br + bi, precision=p)
+                return lax.complex(t1 - t2, t3 - t1 - t2)
+        else:
+            def mm(a, b):
+                return jnp.matmul(a, b, precision=p)
+        return mm
+
+    mm = _make_mm(precision)
+    if warm_precision is not None and warm_iters is None:
+        warm_iters = max(maxit - 2, 0)
+    warm_iters = 0 if warm_precision is None else min(warm_iters, maxit)
+    mm_warm = _make_mm(warm_precision) if warm_iters else None
 
     # The factor arrays enter the jitted runners as ARGUMENTS: this jax
     # version inlines closed-over (host or device) arrays as HLO literals,
@@ -452,23 +476,30 @@ def build_step_fn(
     # N=4096) breaks tunneled remote-compile (HTTP 413).  _mk rebinds the
     # program over traced factor parameters.
     def _mk(w, binv, u, op):
-        def _iterate(W, dW):
+        def _iterate(W, dW, mmfn=mm):
             Whalf = W + dW
             Phalf = _poisson_core(
                 Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
                 refine=refine, op=op, layout=layout,
             )
             Phalf = Phalf * vareps
-            PW = mm(Phalf, Whalf)
+            PW = mmfn(Phalf, Whalf)
             PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
-            return mm(PW, Phalf) + PWc, PWc
+            return mmfn(PW, Phalf) + PWc, PWc
 
         def fixed_point(W, dW):
+            st = (dW, jnp.zeros_like(W))
+            if warm_iters:
+                def it_warm(k, st):
+                    return _iterate(W, st[0], mm_warm)
+
+                st = lax.fori_loop(0, warm_iters, it_warm, st)
+
             def it(k, st):
                 dW, _PWc = st
                 return _iterate(W, dW)
 
-            return lax.fori_loop(0, maxit, it, (dW, jnp.zeros_like(W)))
+            return lax.fori_loop(0, maxit - warm_iters, it, st)
 
         def fixed_point_adaptive(W, dW):
             """Reference tolerance semantics on device: exit on converged or
@@ -490,7 +521,13 @@ def build_step_fn(
                 rn_new = jnp.max(jnp.abs(dW_new - dW))
                 return (i + 1, dW_new, PWc, rn_new, rn)
 
-            st0 = (jnp.asarray(0, jnp.int32), dW, jnp.zeros_like(W), inf, inf)
+            PWc0 = jnp.zeros_like(W)
+            if warm_iters:
+                def it_warm(k, st):
+                    return _iterate(W, st[0], mm_warm)
+
+                dW, PWc0 = lax.fori_loop(0, warm_iters, it_warm, (dW, PWc0))
+            st0 = (jnp.asarray(0, jnp.int32), dW, PWc0, inf, inf)
             iters, dW, PWc, _, _ = lax.while_loop(cond, body, st0)
             return dW, PWc, iters
 
@@ -837,9 +874,15 @@ def build_planes_step_fn(
     refine=None,
     layout="auto",
     with_diagnostics=False,
+    warm_precision=None,
+    warm_iters=None,
 ):
     """Planes-native f32 stepper: the state stays as split-real (2, N, N)
     float32 planes END TO END - no complex arrays anywhere in the program.
+
+    ``warm_precision``/``warm_iters``: mixed-precision fixed-point schedule
+    (see build_step_fn) - first warm_iters iterations (default maxit - 2)
+    at warm_precision, the rest at ``precision``.
 
     Motivation (measured at N=4096 on v5e): the complex stepper's poisson
     core costs 9.6 ms of which the Pallas Thomas kernel is only 1.6 ms -
@@ -863,24 +906,33 @@ def build_planes_step_fn(
     refine_full = 0 if m0_only else refine
     w, binv, u, op = _real_factors(N, rdtype, with_op=True, shear=True)
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
-    prec = dict(
-        highest=lax.Precision.HIGHEST,
-        high=lax.Precision.HIGH,
-        default=lax.Precision.DEFAULT,
-    )[precision.replace("_karatsuba", "")]
-    karatsuba = precision.endswith("_karatsuba")
+    def _make_mm_planes(spec):
+        p = dict(
+            highest=lax.Precision.HIGHEST,
+            high=lax.Precision.HIGH,
+            default=lax.Precision.DEFAULT,
+        )[spec.replace("_karatsuba", "")]
+        kara = spec.endswith("_karatsuba")
 
-    def mm_planes(Ap, Bp):
-        ar, ai = Ap[0], Ap[1]
-        br, bi = Bp[0], Bp[1]
-        if karatsuba:
-            t1 = jnp.matmul(ar, br, precision=prec)
-            t2 = jnp.matmul(ai, bi, precision=prec)
-            t3 = jnp.matmul(ar + ai, br + bi, precision=prec)
-            return jnp.stack([t1 - t2, t3 - t1 - t2])
-        re = jnp.matmul(ar, br, precision=prec) - jnp.matmul(ai, bi, precision=prec)
-        im = jnp.matmul(ar, bi, precision=prec) + jnp.matmul(ai, br, precision=prec)
-        return jnp.stack([re, im])
+        def mm_planes(Ap, Bp):
+            ar, ai = Ap[0], Ap[1]
+            br, bi = Bp[0], Bp[1]
+            if kara:
+                t1 = jnp.matmul(ar, br, precision=p)
+                t2 = jnp.matmul(ai, bi, precision=p)
+                t3 = jnp.matmul(ar + ai, br + bi, precision=p)
+                return jnp.stack([t1 - t2, t3 - t1 - t2])
+            re = jnp.matmul(ar, br, precision=p) - jnp.matmul(ai, bi, precision=p)
+            im = jnp.matmul(ar, bi, precision=p) + jnp.matmul(ai, br, precision=p)
+            return jnp.stack([re, im])
+
+        return mm_planes
+
+    mm_planes = _make_mm_planes(precision)
+    if warm_precision is not None and warm_iters is None:
+        warm_iters = max(maxit - 2, 0)
+    warm_iters = 0 if warm_precision is None else min(warm_iters, maxit)
+    mm_planes_warm = (_make_mm_planes(warm_precision) if warm_iters else None)
 
     def _mk(w_, binv_, u_, op_):
         base = None
@@ -907,21 +959,27 @@ def build_planes_step_fn(
             x = subtract_col0_mean(x)
             return shear2mat(x)
 
-        def _iterate(Wp, dWp):
+        def _iterate(Wp, dWp, mmfn=mm_planes):
             Whp = Wp + dWp
             Php = poisson_planes(Whp) * vareps
-            PWp = mm_planes(Php, Whp)
+            PWp = mmfn(Php, Whp)
             PWc = PWp - _conj_t_planes(PWp)
-            dW_new = mm_planes(PWp, Php) + PWc
+            dW_new = mmfn(PWp, Php) + PWc
             return dW_new, PWc
 
         def step(carry, _):
             Wp, dWp, cp = carry
+            st = (dWp, jnp.zeros_like(Wp))
+            if warm_iters:
+                def it_warm(k, st):
+                    return _iterate(Wp, st[0], mm_planes_warm)
+
+                st = lax.fori_loop(0, warm_iters, it_warm, st)
 
             def it(k, st):
                 return _iterate(Wp, st[0])
 
-            dWp, PWc = lax.fori_loop(0, maxit, it, (dWp, jnp.zeros_like(Wp)))
+            dWp, PWc = lax.fori_loop(0, maxit - warm_iters, it, st)
             upd = 2.0 * PWc
             if compsum:
                 y = upd - cp

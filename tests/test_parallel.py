@@ -362,3 +362,45 @@ def test_isomptpu_cold_restart_bit_exact():
     W_one = c(W0.copy(), dt, steps=10)
     W_one = c(W_one, dt, steps=10)
     np.testing.assert_array_equal(W_two, W_one)
+
+
+def test_stepper_mixed_precision_schedule():
+    """Mixed-precision fixed point (warm 'high' GEMMs, final 'highest'):
+    on CPU all precision specs lower to the same f32 matmul, so the mixed
+    schedule must reproduce the pure schedule exactly (planes path) /
+    to f32 roundoff (complex path, karatsuba warm reorders the sums).
+    Device accuracy is covered by benchmarks/mixed_precision.json."""
+    from quflow_tpu.parallel.stepper import build_planes_step_fn
+
+    N = 32
+    W0 = rsk(N, seed=3).astype(np.complex64)
+    W0 = W0 - np.eye(N) * np.trace(W0) / N
+    dt = 0.25 * qf.hbar(N)
+    Wp = jnp.asarray(to_planes(W0).astype(np.float32))
+    z = jnp.zeros_like(Wp)
+
+    g0 = build_planes_step_fn(N, dt, steps=5, maxit=5, layout="shear")
+    g1 = build_planes_step_fn(
+        N, dt, steps=5, maxit=5, layout="shear",
+        warm_precision="high_karatsuba", warm_iters=3,
+    )
+    a = np.asarray(g0(Wp, z, z)[0])
+    b = np.asarray(g1(Wp, z, z)[0])
+    np.testing.assert_array_equal(a, b)
+
+    f0 = build_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex64,
+                       planes_io=True)
+    f1 = build_step_fn(N, dt, steps=5, maxit=5, dtype=np.complex64,
+                       planes_io=True, warm_precision="high", warm_iters=3)
+    c = np.asarray(f0(Wp, z, z)[0])
+    d = np.asarray(f1(Wp, z, z)[0])
+    np.testing.assert_allclose(c, d, atol=1e-6)
+
+    # adaptive mode: warm phase runs before the while_loop; iteration
+    # counts (full-precision phase only) still come back per step
+    f2 = build_step_fn(N, dt, steps=4, maxit=10, dtype=np.complex64,
+                       planes_io=True, tol=1e-7,
+                       warm_precision="high", warm_iters=2)
+    out = f2(Wp, z, z)
+    iters = np.asarray(out[3])
+    assert iters.shape == (4,) and (iters >= 1).all() and (iters <= 10).all()
