@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""MHD (magnetic midpoint) on device: throughput sweep + conservation.
+
+The reference has no accelerated magmp at all (reference
+integrators/mhd.py:235-456 is CPU-only numpy); build_mhd_step_fn is new
+TPU-native capability, so these are the first committed device artifacts
+for it (VERDICT round-2 item 4).
+
+Throughput: steps/s at --sweep-N (default 1024, 2048), same protocol as
+bench.py (latency-subtracted, median of 5).  The MHD step costs 2x the
+Euler GEMMs (4 complex GEMMs/iteration: PW, WP-via-conj, BTheta, PTheta)
+plus a double Poisson solve, so expect ~0.4x the Euler steps/s.
+
+Conservation at --N over --steps steps: total energy (kinetic+magnetic),
+cross helicity tr(W Theta), and the Theta-Casimirs (Theta evolves by
+conjugation under magmp, so its spectrum is exactly invariant - the
+structural analog of the Euler Casimir gate).
+
+Run (device):  timeout 3600 python benchmarks/mhd_device.py
+Writes benchmarks/mhd_device.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "mhd_device.json")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--N", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=10000)
+    parser.add_argument("--chunk", type=int, default=500)
+    parser.add_argument("--sweep-N", default="1024,2048")
+    parser.add_argument("--skip-sweep", action="store_true")
+    parser.add_argument("--skip-conservation", action="store_true")
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import quflow_tpu as qf
+    from quflow_tpu.models import MHDFlow
+    from quflow_tpu.integrators.mhd import solve_mhd
+    from quflow_tpu.parallel.stepper import (
+        build_mhd_step_fn, to_planes, from_planes)
+
+    results = {
+        "device": jax.devices()[0].device_kind,
+        "config": "magmp production stepper, c64 planes (2,2,N,N), maxit=5, "
+                  "compsum, refine='m0', precision highest, dt=0.25*hbar",
+        "sweep": {},
+        "conservation": {},
+    }
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            old = json.load(f)
+        for k in ("sweep", "conservation"):
+            results[k].update(old.get(k, {}))
+
+    probe = jax.jit(lambda x: jnp.sum(jnp.ravel(x)[:8]))
+
+    def latency():
+        x0 = jnp.zeros((8,), jnp.float32)
+        float(probe(x0))
+        t0 = time.time()
+        for _ in range(5):
+            float(probe(x0))
+        return (time.time() - t0) / 5
+
+    # ---- throughput sweep --------------------------------------------------
+    if not args.skip_sweep:
+        LAT = latency()
+        for N in [int(x) for x in args.sweep_N.split(",")]:
+            flow = MHDFlow(N=N)
+            state0 = flow.random_initial(lmax=10, seed=42)
+            dt = 0.25 * flow.hbar
+            steps = max(2000 // max(N // 512, 1) ** 3, 10)
+            fn = build_mhd_step_fn(N, dt, steps=steps, maxit=5,
+                                   dtype=np.complex64, compsum=True)
+            Sp = jnp.asarray(to_planes(state0.astype(np.complex64))
+                             .astype(np.float32))
+            st = (Sp, jnp.zeros_like(Sp), jnp.zeros_like(Sp))
+            st = fn(*st)[:3]
+            float(probe(st[0]))
+            times = []
+            for _ in range(5):
+                t0 = time.time()
+                out = fn(*st)[:3]
+                float(probe(out[0]))
+                times.append(time.time() - t0 - LAT)
+            med = float(np.median(times))
+            spread = float((np.max(times) - np.min(times)) / med * 100)
+            sps = steps / med
+            print(f"MHD sweep N={N}: {sps:.2f} steps/s "
+                  f"(spread {spread:.1f}%)", flush=True)
+            results["sweep"][f"N{N}"] = {
+                "steps_per_sec": round(sps, 2),
+                "steps_per_call": steps,
+                "run_spread_pct": round(spread, 1),
+            }
+            with open(OUT, "w") as f:
+                json.dump(results, f, indent=2)
+
+    # ---- conservation ------------------------------------------------------
+    if not args.skip_conservation:
+        N = args.N
+        flow = MHDFlow(N=N)
+        state0 = flow.random_initial(lmax=10, seed=42)
+        dt = 0.25 * flow.hbar
+        W0, T0 = state0[0], state0[1]
+        specT0 = np.sort(np.linalg.eigvalsh(-1j * T0))
+
+        def inner(A, B):
+            return float(np.sum(A * np.conj(B)).real) / N
+
+        def invariants(state):
+            W, Theta = state[0], state[1]
+            P, B = solve_mhd(np.stack([W, Theta]))
+            kinetic = float(qf.energy_euler(W))
+            magnetic = -0.5 * inner(B, Theta)
+            cross = inner(W, Theta)
+            return kinetic, magnetic, cross
+
+        k0, m0, c0 = invariants(state0)
+        fn = build_mhd_step_fn(N, dt, steps=args.chunk, maxit=5,
+                               dtype=np.complex64, compsum=True)
+        Sp = jnp.asarray(to_planes(state0.astype(np.complex64))
+                         .astype(np.float32))
+        st = (Sp, jnp.zeros_like(Sp), jnp.zeros_like(Sp))
+        st = fn(*st)[:3]  # compile excluded from timing
+        t0 = time.time()
+        for _ in range(args.steps // args.chunk - 1):
+            st = fn(*st)[:3]
+        float(probe(st[0]))
+        el = time.time() - t0
+        Sf = from_planes(np.asarray(st[0])).astype(np.complex128)
+        k1, m1, c1 = invariants(Sf)
+        specT = np.sort(np.linalg.eigvalsh(-1j * Sf[1]))
+        row = {
+            "steps": args.steps, "maxit": 5, "compsum": True,
+            "refine": "m0",
+            "theta_casimir_drift": float(np.abs(specT - specT0).max()),
+            "total_energy_drift": abs((k1 + m1) - (k0 + m0)),
+            "cross_helicity_drift": abs(c1 - c0),
+            "initial": {"kinetic": k0, "magnetic": m0, "cross_helicity": c0},
+            "steps_per_sec": round((args.steps - args.chunk) / el, 1),
+        }
+        print(f"MHD conservation N={N} over {args.steps} steps: "
+              f"Theta-Casimir {row['theta_casimir_drift']:.3e}, "
+              f"energy {row['total_energy_drift']:.3e}, "
+              f"cross-helicity {row['cross_helicity_drift']:.3e}, "
+              f"{row['steps_per_sec']} steps/s", flush=True)
+        results["conservation"][f"N{N} c64 production"] = row
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+    print(f"written {OUT}")
+
+
+if __name__ == "__main__":
+    main()
