@@ -15,6 +15,7 @@ import jax.scipy.linalg as jsl
 __all__ = [
     "hbar",
     "bracket",
+    "matmul_dia",
     "norm_L2",
     "inner_L2",
     "norm_Linf",
@@ -42,16 +43,68 @@ def _is_dia(A):
         return False
 
 
+def matmul_dia(A, B):
+    """Banded product of two scipy ``dia_matrix`` inputs in O(b_A b_B N).
+
+    Output diagonals are sums of aligned elementwise products of input
+    diagonals (offsets add): with scipy's column-indexed dia storage
+    ``data[k, j] = M[j - offsets[k], j]``,
+
+        C_data[o1+o2, j] += A_data[o1, j - o2] * B_data[o2, j].
+
+    This is the role of the reference's numba ``matmul_dia``
+    (reference geometry.py:13-37): products of band-limited basis elements
+    never touch dense N^2 storage.  Returns a ``dia_matrix``.
+    """
+    from scipy.sparse import dia_matrix
+
+    N = A.shape[0]
+    dtype = np.result_type(A.dtype, B.dtype)
+    cols = np.arange(N)
+
+    def _clean(offsets, data):
+        # scipy permits junk outside the matrix bounds in dia storage
+        valid = (cols - offsets[:, None] >= 0) & (cols - offsets[:, None] < N)
+        return np.where(valid, data[:, :N], 0)
+
+    da = _clean(A.offsets, A.data)
+    db = _clean(B.offsets, B.data)
+    out = {}
+    for ka, o1 in enumerate(A.offsets):
+        for kb, o2 in enumerate(B.offsets):
+            oc = int(o1) + int(o2)
+            if oc <= -N or oc >= N:
+                continue
+            prod = np.zeros(N, dtype=dtype)
+            if o2 >= 0:
+                prod[o2:] = da[ka, : N - o2] * db[kb, o2:]
+            else:
+                prod[: N + o2] = da[ka, -o2:] * db[kb, : N + o2]
+            acc = out.get(oc)
+            if acc is None:
+                out[oc] = prod
+            else:
+                acc += prod
+    offsets = np.array(sorted(out), dtype=np.int64)
+    data = np.stack([out[o] for o in offsets]) if len(offsets) else \
+        np.zeros((1, N), dtype=dtype)
+    if not len(offsets):
+        offsets = np.zeros(1, dtype=np.int64)
+    return dia_matrix((data, offsets), shape=(N, N))
+
+
 def bracket(P, W):
     """Quantized Poisson bracket (1/hbar) [P, W].
 
     scipy dia_matrix inputs are supported (sparse band-limited basis
-    elements, cf. reference geometry.py:13-49) and return a dia_matrix.
+    elements, cf. reference geometry.py:13-49) and return a dia_matrix;
+    the product runs on the banded fast path (:func:`matmul_dia`,
+    O(bandwidth^2 N) instead of dense O(N^3)).
     """
     N = P.shape[-1]
     if _is_dia(P) and _is_dia(W):
-        A = (P @ W - W @ P).todia()
-        return A / hbar(N)
+        A = matmul_dia(P, W) - matmul_dia(W, P)
+        return A.todia() / hbar(N)
     A = P @ W - W @ P
     return A / hbar(N)
 

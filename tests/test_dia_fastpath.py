@@ -88,3 +88,42 @@ def test_select_skewherm_compat():
         np.testing.assert_allclose(P, Pexact, atol=1e-14 * 33**2)
     finally:
         lap._skewh_default = None
+
+
+def test_matmul_dia_matches_dense():
+    """Banded dia product == dense product for random banded matrices,
+    including junk outside the matrix bounds in the dia storage."""
+    from scipy.sparse import dia_matrix
+    from quflow_tpu.ops.geometry import matmul_dia
+
+    rng = np.random.RandomState(7)
+    N = 40
+    for _ in range(5):
+        ka = rng.choice(np.arange(-6, 7), size=rng.randint(1, 5),
+                        replace=False)
+        kb = rng.choice(np.arange(-6, 7), size=rng.randint(1, 5),
+                        replace=False)
+        da = rng.randn(len(ka), N) + 1j * rng.randn(len(ka), N)
+        db = rng.randn(len(kb), N) + 1j * rng.randn(len(kb), N)
+        A = dia_matrix((da, ka), shape=(N, N))
+        B = dia_matrix((db, kb), shape=(N, N))
+        C = matmul_dia(A, B)
+        np.testing.assert_allclose(C.toarray(), A.toarray() @ B.toarray(),
+                                   atol=1e-12)
+
+
+def test_bracket_dia_uses_banded_path():
+    """bracket on dia inputs returns a dia_matrix equal to the dense
+    bracket, with bandwidth bounded by the sum of input bandwidths."""
+    from scipy.sparse import dia_matrix
+    import quflow_tpu as qf
+
+    N = 24
+    P = qf.elmr2mat(2, 1, N=N)
+    W = qf.elmr2mat(3, -2, N=N)
+    out = qf.bracket(P, W)
+    dense = qf.bracket(P.toarray(), W.toarray())
+    np.testing.assert_allclose(out.toarray(), dense, atol=1e-12)
+    assert out.format == "dia"
+    assert np.abs(out.offsets).max() <= (np.abs(P.offsets).max()
+                                         + np.abs(W.offsets).max())
