@@ -1073,6 +1073,8 @@ def build_mhd_step_fn(
     batched=False,
     tol=None,
     minit=1,
+    warm_precision=None,
+    warm_iters=None,
 ):
     """Jitted multi-step magnetic-midpoint runner on the two-component state
     (W, Theta) - first-class twin of :func:`build_step_fn` (the reference has
@@ -1084,9 +1086,10 @@ def build_mhd_step_fn(
     oversized compile requests break tunneled remote-compile at N>=4096),
     Kahan compensated summation of the state update (``compsum``), f32
     mixed-precision solve refinement (``refine``, default 'm0' in f32 on
-    non-row layouts), mesh sharding (``mesh``/``batched``), and adaptive
+    non-row layouts), mesh sharding (``mesh``/``batched``), adaptive
     tolerance (``tol``/``minit``; returns per-step iteration counts as an
-    extra output like build_step_fn).
+    extra output like build_step_fn), and the mixed-precision fixed-point
+    schedule (``warm_precision``/``warm_iters``, see build_step_fn).
 
     Planes I/O shape (2, 2, N, N) = (re/im, component, N, N).
     Returns ``fn(Sri, dSri, cri) -> (Sri, dSri, cri[, iters])``; thread the
@@ -1107,24 +1110,35 @@ def build_mhd_step_fn(
     )
     lap_op = jnp.asarray(_mhd_lap_op(N, layout, rdtype, pad_rows=pad))
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
-    prec = dict(
-        highest=lax.Precision.HIGHEST,
-        high=lax.Precision.HIGH,
-        default=lax.Precision.DEFAULT,
-    )[precision]
+
+    def _prec_of(spec):
+        return dict(
+            highest=lax.Precision.HIGHEST,
+            high=lax.Precision.HIGH,
+            default=lax.Precision.DEFAULT,
+        )[spec]
+
+    prec = _prec_of(precision)
+    if warm_precision is not None and warm_iters is None:
+        warm_iters = max(maxit - 2, 0)
+    warm_iters = 0 if warm_precision is None else min(warm_iters, maxit)
+    prec_warm = _prec_of(warm_precision) if warm_iters else None
 
     def _conj_t(A):
         return jnp.conj(jnp.swapaxes(A, -1, -2))
 
     def _mk(w, binv, u, op, lap_op):
-        def mm(a, b):
-            return jnp.matmul(a, b, precision=prec)
+        def mm_at(a, b, p):
+            return jnp.matmul(a, b, precision=p)
 
         def _component(S, idx):
             # batched states are (batch, 2, N, N); components live on axis -3
             return S[..., idx, :, :]
 
-        def _iterate(S, dS):
+        def _iterate(S, dS, p=prec):
+            def mm(a, b):
+                return mm_at(a, b, p)
+
             Shalf = S + dS
             Whalf = _component(Shalf, 0)
             Thalf = _component(Shalf, 1)
@@ -1150,13 +1164,20 @@ def build_mhd_step_fn(
             return dS_new, PWc, BTc
 
         def fixed_point(S, dS):
+            z2 = jnp.zeros_like(S)
+            z1 = jnp.zeros_like(_component(S, 0))
+            st = (dS, z2, z1)
+            if warm_iters:
+                def it_warm(k, st):
+                    return _iterate(S, st[0], prec_warm)
+
+                st = lax.fori_loop(0, warm_iters, it_warm, st)
+
             def it(k, st):
                 dS, _PWc, _BTc = st
                 return _iterate(S, dS)
 
-            z2 = jnp.zeros_like(S)
-            z1 = jnp.zeros_like(_component(S, 0))
-            return lax.fori_loop(0, maxit, it, (dS, z2, z1))
+            return lax.fori_loop(0, maxit - warm_iters, it, st)
 
         def fixed_point_adaptive(S, dS):
             tol_j = jnp.asarray(tol, dtype=rdtype)
@@ -1173,8 +1194,15 @@ def build_mhd_step_fn(
                 rn_new = jnp.max(jnp.abs(dS_new - dS))
                 return (i + 1, dS_new, PWc, BTc, rn_new, rn)
 
-            st0 = (jnp.asarray(0, jnp.int32), dS, jnp.zeros_like(S),
-                   jnp.zeros_like(_component(S, 0)), inf, inf)
+            PWc0 = jnp.zeros_like(S)
+            BTc0 = jnp.zeros_like(_component(S, 0))
+            if warm_iters:
+                def it_warm(k, st):
+                    return _iterate(S, st[0], prec_warm)
+
+                dS, PWc0, BTc0 = lax.fori_loop(
+                    0, warm_iters, it_warm, (dS, PWc0, BTc0))
+            st0 = (jnp.asarray(0, jnp.int32), dS, PWc0, BTc0, inf, inf)
             iters, dS, PWc, BTc, _, _ = lax.while_loop(cond, body, st0)
             return dS, PWc, BTc, iters
 
