@@ -615,7 +615,7 @@ class IsompTPU:
 
     def __init__(self, maxit=5, precision="highest", compsum=True, refine=None,
                  dtype=np.complex64, mesh=None, batched=False, tol=None,
-                 minit=1, warm=True):
+                 minit=1, warm=True, warm_precision=None, warm_iters=None):
         self.maxit = maxit
         self.precision = precision
         self.compsum = compsum
@@ -625,6 +625,8 @@ class IsompTPU:
         self.batched = batched
         self.tol = tol
         self.minit = minit
+        self.warm_precision = warm_precision
+        self.warm_iters = warm_iters
         # warm=True threads dW (fixed-point warm start) and the Kahan
         # compensation between calls - fastest.  warm=False makes each call
         # a pure function of (W, dt, steps) like the reference integrators,
@@ -643,6 +645,8 @@ class IsompTPU:
                 compsum=self.compsum, mesh=self.mesh, batched=self.batched,
                 precision=self.precision, planes_io=True, refine=self.refine,
                 tol=self.tol, minit=self.minit,
+                warm_precision=self.warm_precision,
+                warm_iters=self.warm_iters,
             )
         return self._fns[key]
 
