@@ -27,6 +27,7 @@ from functools import lru_cache
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["mat2diagh", "diagh2mat", "pack_indices", "scatter_indices", "num_rows"]
 
@@ -226,6 +227,55 @@ def shear2mat(D):
     *b, N, _ = D.shape
     flat = jnp.reshape(D, (*b, N * (N + 1)))[..., : N * N]
     return jnp.reshape(flat, (*b, N, N))
+
+
+def subtract_col01_mean(d):
+    """Interleaved-shear trace projection: lanes 0 and 1 hold re/im of the
+    main diagonal; subtract each lane's own mean (one fused elementwise
+    pass; the per-lane sums are a single keepdims reduction)."""
+    N = d.shape[-2]
+    mask01 = np.zeros((1, d.shape[-1]), dtype=bool)
+    mask01[0, :2] = True
+    tr = jnp.sum(jnp.where(mask01, d, 0), axis=-2, keepdims=True) / N
+    return d - jnp.where(mask01, tr, jnp.zeros_like(tr))
+
+
+def mat2shear_interleaved(W, tracefree=True):
+    """Interleaved shear pack: complex (..., N, N) -> real (..., N, 2(N+1)).
+
+    Same shear trick as :func:`mat2shear` applied to the re/im-interleaved
+    real reading of W (lane 2j+c = channel c of shear column j; flat f32
+    index 2*(k*(N+1)+j)+c).  This keeps the whole Poisson solve in one real
+    array: no per-solve complex->planes stack, channel pad, or plane
+    re-complexification copies (measured at N=4096 on v5e those glue copies
+    cost ~8 ms of the 9.6 ms poisson core around a 1.6 ms Thomas kernel).
+    Each lane is an independent tridiagonal system, so the solve just runs
+    with column-duplicated factors.
+
+    The interleave itself is ONE stack pass (jnp .view() of complex arrays
+    lowers to strided scatters - the one TPU pathology this module exists
+    to avoid)."""
+    *b, N, _ = W.shape
+    rd = W.real.dtype
+    F = jnp.stack([W.real, W.imag], axis=-1)  # (..., N, N, 2)
+    flat = jnp.concatenate(
+        [jnp.reshape(F, (*b, 2 * N * N)), jnp.zeros((*b, 2 * N), rd)],
+        axis=-1,
+    )
+    D = jnp.reshape(flat, (*b, N, 2 * (N + 1)))
+    if tracefree:
+        D = subtract_col01_mean(D)
+    return D
+
+
+def shear2mat_interleaved(D):
+    """Inverse interleaved shear pack: real (..., N, 2(N+1)) -> complex
+    (..., N, N).  Strided lane slices (stride-2 lax.slice, TPU-friendly)
+    recombine through one lax.complex pass."""
+    *b, N, _ = D.shape
+    flat = jnp.reshape(D, (*b, 2 * N * (N + 1)))[..., : 2 * N * N]
+    F = jnp.reshape(flat, (*b, N, N, 2))
+    return lax.complex(F[..., 0], F[..., 1])
 
 
 def mat2diagh_rolls(W, tracefree=True, pad_rows=0):

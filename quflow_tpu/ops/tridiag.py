@@ -348,6 +348,24 @@ def refine_m0(x, d, op, axis):
     return x + jnp.where(mask, corr[..., :, None], jnp.zeros((), x.dtype))
 
 
+def refine_m0_interleaved(x, d, op):
+    """f64-residual m=0 refinement for the *interleaved* shear layout
+    (lanes 0/1 = re/im of the main-diagonal system; see
+    diagpack.mat2shear_interleaved).  Same semiseparable correction as
+    :func:`refine_m0`, applied per lane; ``op`` is the standard channel-
+    first (2, N, N+1) f64 shear operator (column 0 is the m=0 system - the
+    coefficients are lane-independent)."""
+    main = jnp.asarray(op[0, :, 0])
+    off = jnp.asarray(op[1, :, 0])
+    corr_re = m0_correction(x[..., :, 0], d[..., :, 0], main, off)
+    corr_im = m0_correction(x[..., :, 1], d[..., :, 1], main, off)
+    corr = jnp.stack([corr_re, corr_im], axis=-1)  # (..., N, 2)
+    # static-slice update: the interleaved path is single-chip only, so the
+    # GSPMD scatter hazard behind refine_m0's masked form does not apply -
+    # a dynamic-update-slice writes just the two lanes
+    return x.at[..., :, 0:2].add(corr.astype(x.dtype))
+
+
 def dot_cols(op, d):
     """Apply the shear-layout tridiagonal operator along columns:
     ``op`` (2, N, N+1) channel-first (main, coupling), d (..., N, N+1)."""

@@ -41,7 +41,10 @@ from ..ops.diagpack import (
     wrapped2mat,
     mat2shear,
     shear2mat,
+    mat2shear_interleaved,
+    shear2mat_interleaved,
     subtract_col0_mean,
+    subtract_col01_mean,
     num_rows,
     subtract_row0_mean,
 )
@@ -50,6 +53,7 @@ from ..ops.tridiag import (
     shear_laplacian,
     TridiagFactors,
     refine_m0,
+    refine_m0_interleaved,
 )
 from ..ops.laplacian import _factors
 from ..ops.geometry import hbar
@@ -155,11 +159,47 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         raise ValueError("refine='m0' requires the f64 operator (op=...)")
     refine_full = 0 if m0_only else refine
     if layout in ("shear", "shear_pallas"):
+        import os
+
+        # Interleaved fast path (single-chip complex states, the production
+        # configuration): solve on the re/im-interleaved real shear view -
+        # lane 2j+c is channel c of shear column j, factors column-
+        # duplicated - so the whole solve stays ONE real array.  The
+        # complex path below pays ~6 extra full-array copies per solve
+        # (complex->planes stack, channel pad/unpad, re-complexification):
+        # measured 8 ms of the 9.6 ms N=4096 poisson core on v5e.
+        interleave = (
+            jnp.iscomplexobj(W)
+            and os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "1") != "0"
+        )
+        if interleave:
+            d = mat2shear_interleaved(W, tracefree=True)
+            w2 = jnp.repeat(w, 2, axis=-1)
+            binv2 = jnp.repeat(binv, 2, axis=-1)
+            u2 = jnp.repeat(u, 2, axis=-1)
+            op2 = (jnp.repeat(jnp.asarray(op), 2, axis=-1)
+                   if (op is not None and refine_full) else None)
+            base = None
+            if layout == "shear_pallas":
+                if os.environ.get("QUFLOW_PALLAS_KERNEL", "thomas") == "scan":
+                    from ..ops.pallas_scan_solve import scan_base_cols
+
+                    base = scan_base_cols(w2, binv2, u2)
+                else:
+                    from ..ops.pallas_solve import pallas_base_cols
+
+                    base = pallas_base_cols(w2, binv2, u2)
+            x = solve_factored(
+                _Fac(w2, binv2, u2), d, refine=refine_full, op=op2,
+                axis=-2, base=base,
+            )
+            if m0_only:
+                x = refine_m0_interleaved(x, d, op)
+            x = subtract_col01_mean(x)
+            return shear2mat_interleaved(x)
         d = mat2shear(W, tracefree=True)
         base = None
         if layout == "shear_pallas":
-            import os
-
             # 'scan' = blocked-affine-scan kernel (log2(chunk) full-width
             # VPU passes per block); 'thomas' = the round-2 serial kernel
             # (CH latency-bound row ops per block).

@@ -158,3 +158,71 @@ def test_mhd_stepper_pallas_equals_rolls():
         outs[layout] = np.asarray(st[0])
         assert np.isfinite(outs[layout]).all(), layout
     np.testing.assert_allclose(outs["pallas"], outs["rolls"], atol=1e-11)
+
+
+def test_interleaved_shear_pack_roundtrip():
+    """mat2shear_interleaved: lane 2j+c of the real view = channel c of
+    shear column j; exact roundtrip back to the complex matrix."""
+    from quflow_tpu.ops.diagpack import (
+        mat2shear_interleaved,
+        shear2mat_interleaved,
+    )
+
+    N = 16
+    W = _rand_skewh(N, seed=3, tracefree=False)
+    D = np.asarray(mat2shear_interleaved(jnp.asarray(W), tracefree=False))
+    assert D.shape == (N, 2 * (N + 1))
+    Dc = np.asarray(mat2shear(jnp.asarray(W), tracefree=False))
+    np.testing.assert_array_equal(D[:, 0::2], Dc.real)
+    np.testing.assert_array_equal(D[:, 1::2], Dc.imag)
+    back = np.asarray(shear2mat_interleaved(jnp.asarray(D)))
+    np.testing.assert_array_equal(back, W)
+
+
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+@pytest.mark.parametrize("refine", [0, "m0", 1])
+@pytest.mark.parametrize("layout", ["shear", "shear_pallas"])
+def test_interleaved_poisson_core_matches_complex_path(
+    dtype, refine, layout, monkeypatch
+):
+    """The interleaved fast path (QUFLOW_SHEAR_INTERLEAVE, the production
+    default for complex states) is bit-identical to the complex shear
+    path: same factors, same scan, lanes are independent systems."""
+    from quflow_tpu.parallel.stepper import _poisson_core, _real_factors
+
+    N = 48
+    W = _rand_skewh(N, seed=5, dtype=dtype)
+    rd = np.zeros(1, dtype=dtype).real.dtype
+    w, binv, u, op = _real_factors(N, rd, with_op=True, shear=True)
+    Wj = jnp.asarray(W)
+    monkeypatch.setenv("QUFLOW_SHEAR_INTERLEAVE", "0")
+    P0 = np.asarray(
+        _poisson_core(Wj, w, binv, u, layout=layout, refine=refine, op=op)
+    )
+    monkeypatch.setenv("QUFLOW_SHEAR_INTERLEAVE", "1")
+    P1 = np.asarray(
+        _poisson_core(Wj, w, binv, u, layout=layout, refine=refine, op=op)
+    )
+    np.testing.assert_array_equal(P1, P0)
+    # and it actually solves: laplace(P) == W (f64 only; f32 is approximate)
+    if dtype == np.complex128:
+        np.testing.assert_allclose(
+            np.asarray(laplace(P1, skewh=False)), W, atol=1e-11 * N
+        )
+
+
+def test_interleaved_batched_poisson_core():
+    """Leading ensemble axes pass through the interleaved pack unchanged."""
+    from quflow_tpu.parallel.stepper import _poisson_core, _real_factors
+
+    N = 24
+    Ws = np.stack([_rand_skewh(N, seed=s) for s in (1, 2, 3)])
+    w, binv, u, op = _real_factors(N, np.float64, with_op=True, shear=True)
+    P_batch = np.asarray(
+        _poisson_core(jnp.asarray(Ws), w, binv, u, layout="shear")
+    )
+    for k in range(3):
+        Pk = np.asarray(
+            _poisson_core(jnp.asarray(Ws[k]), w, binv, u, layout="shear")
+        )
+        np.testing.assert_array_equal(P_batch[k], Pk)
