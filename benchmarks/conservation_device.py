@@ -144,6 +144,17 @@ def main():
             casimir_series.append([step_no, drift])
             print(f"  [{name}] step {step_no}: Casimir {drift:.3e}",
                   flush=True)
+            # persist a provisional row at every milestone so a run killed
+            # mid-way (wall-clock budget, tunnel wedge) still leaves an
+            # honest partial artifact
+            results["rows"][name] = {
+                "maxit": maxit, "compsum": compsum, "refine": refine,
+                "steps": step_no, "partial": True,
+                "casimir_drift": drift,
+                "casimir_drift_milestones": list(casimir_series),
+            }
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=2)
 
         # first chunk compiles (20-80 s through the tunnel): run it before
         # starting the clock, else steps/s is compile-dominated and wildly
