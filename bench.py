@@ -248,11 +248,17 @@ def run_sweep(only=None):
         # Thomas solve kernel alone runs at 0.71 of HBM peak (1.62 ms) -
         # the poisson-core number includes complex<->planes glue.
         (4096, "highest", 10, ("shear_pallas",)),
+        # single chip; unlocked by factor-argument programs (the serialized
+        # compile request is ~0.05 MB vs ~8 GB of closed-over HLO literals)
+        (8192, "highest_karatsuba", 5, ("shear_pallas",)),
     ]
     for N, prec, steps, only_layouts in cases:
         layouts = ("wrapped", "shear", "pallas")
         if N >= 4096:
-            layouts = layouts + ("shear_pallas",)
+            # the monolithic 'pallas' layout redirects to the chunked
+            # kernel at this size (see stepper._resolve_layout) - listing
+            # it would just duplicate the shear_pallas row
+            layouts = ("wrapped", "shear", "shear_pallas")
         if only_layouts:
             layouts = only_layouts
         for layout in layouts:

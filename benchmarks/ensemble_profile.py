@@ -102,7 +102,7 @@ def main():
                   f"refine={args.refine}, {steps} scan iterations/call, "
                   "median of 5; ms per scan iteration",
         "device": jax.devices()[0].device_kind,
-        "interleave": os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "1"),
+        "interleave": os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "0"),
         "rows": {},
     }
     print(f"N={N} layout={args.layout} precision={args.precision} on "

@@ -89,15 +89,16 @@ def _resolve_layout(N, mesh, layout):
 
     Single chip, layout='auto' (the default): 'shear' (single pad+reshape
     pack, ops/diagpack.mat2shear) - fastest measured at N <= 2048 on TPU
-    v5e (full production step, c64, benchmarks/sweep_round2.json): N=512
-    1527.6 steps/s; N=1024 301.6 (vs wrapped 250.9, wrapped-pallas 229.6);
-    N=2048 43.0.  At N >= 4096 the associative scan's O(N^2 log N) traffic
+    v5e (full production step, c64, benchmarks/sweep_round2.json round-3
+    medians): N=1024 277 steps/s (vs wrapped 241, wrapped-pallas 226);
+    N=2048 39.9.  At N >= 4096 the associative scan's O(N^2 log N) traffic
     loses to the chunked Pallas Thomas pipeline, so auto picks
     'shear_pallas' (shear pack + chunked VMEM serial-Thomas kernel,
-    ops/pallas_solve._solve_T_chunked, tile=512/chunk=512): 5.08 vs
-    4.34 steps/s at N=4096 (poisson core 10.8 vs 14.2 ms).
-    'wrapped' (all-N-rows barrel pack), 'rolls', and 'pallas' (wrapped pack
-    + monolithic kernel) remain manual escape hatches."""
+    ops/pallas_solve._solve_T_chunked, tile=512/chunk=512): 5.03 vs
+    3.98 steps/s at N=4096 (poisson core 11.4 vs 17.7 ms; MFU 0.833 at
+    6-pass 'highest' accounting).  'wrapped' (all-N-rows barrel pack),
+    'rolls', and 'pallas' (wrapped pack + monolithic kernel, redirected to
+    the chunked kernel at N >= 4096) remain manual escape hatches."""
     if mesh is not None:
         if layout in (None, "auto", "shear", "shear_shard", "shear_pallas"):
             # sharded shear: 1 neighbor ppermute per pack/unpack (the shear
@@ -115,6 +116,13 @@ def _resolve_layout(N, mesh, layout):
         if N >= 4096 and jax.default_backend() == "tpu":
             return "shear_pallas"
         return "shear"
+    if layout == "pallas" and N >= 4096:
+        # the monolithic kernel's (rows, N) VMEM window exceeds what Mosaic
+        # will tile at this size (compile failure on v5e, recorded in
+        # sweep_round2.json round 2); the chunked pipeline is the same
+        # serial-Thomas kernel with bounded VMEM, so redirect instead of
+        # dying at compile time
+        return "shear_pallas"
     return layout
 
 
@@ -161,16 +169,18 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     if layout in ("shear", "shear_pallas"):
         import os
 
-        # Interleaved fast path (single-chip complex states, the production
-        # configuration): solve on the re/im-interleaved real shear view -
-        # lane 2j+c is channel c of shear column j, factors column-
-        # duplicated - so the whole solve stays ONE real array.  The
-        # complex path below pays ~6 extra full-array copies per solve
-        # (complex->planes stack, channel pad/unpad, re-complexification):
-        # measured 8 ms of the 9.6 ms N=4096 poisson core on v5e.
+        # Interleaved variant (opt-in, OFF by default): solve on the
+        # re/im-interleaved real shear view - lane 2j+c is channel c of
+        # shear column j, factors column-duplicated - so the whole solve
+        # stays ONE real array, avoiding the complex path's ~6 extra
+        # full-array copies per solve.  Bit-exact to the complex path, but
+        # a large REGRESSION on v5e (measured: N=1024 shear poisson 0.21 ->
+        # 4.35 ms, N=512 step 1527 -> 175 steps/s): the odd/even lane
+        # interleaving defeats Mosaic's lane vectorization of the scan and
+        # the m0 write-back.  Kept for CPU experimentation only.
         interleave = (
             jnp.iscomplexobj(W)
-            and os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "1") != "0"
+            and os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "0") != "0"
         )
         if interleave:
             d = mat2shear_interleaved(W, tracefree=True)

@@ -185,9 +185,10 @@ def test_interleaved_shear_pack_roundtrip():
 def test_interleaved_poisson_core_matches_complex_path(
     dtype, refine, layout, monkeypatch
 ):
-    """The interleaved fast path (QUFLOW_SHEAR_INTERLEAVE, the production
-    default for complex states) is bit-identical to the complex shear
-    path: same factors, same scan, lanes are independent systems."""
+    """The interleaved variant (QUFLOW_SHEAR_INTERLEAVE, opt-in - measured
+    as a large v5e regression, see _poisson_core) is bit-identical to the
+    complex shear path: same factors, same scan, lanes are independent
+    systems."""
     from quflow_tpu.parallel.stepper import _poisson_core, _real_factors
 
     N = 48
