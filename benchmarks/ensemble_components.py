@@ -122,7 +122,8 @@ def main():
             for _ in range(5):
                 t0 = time.time()
                 run(Wp).block_until_ready()
-                ts.append(time.time() - t0 - lat)
+                # clamp: on fast hosts the latency probe can exceed the run
+                ts.append(max(time.time() - t0 - lat, 0.0))
             row[kind + "_ms"] = round(float(np.median(ts)) / steps * 1e3, 4)
         # full production step
         fn = build_step_fn(N, dt, steps=steps, maxit=5, dtype=np.complex64,
