@@ -255,10 +255,11 @@ def run_sweep(only=None):
     for N, prec, steps, only_layouts in cases:
         layouts = ("wrapped", "shear", "pallas")
         if N >= 4096:
-            # the monolithic 'pallas' layout redirects to the chunked
-            # kernel at this size (see stepper._resolve_layout) - listing
-            # it would just duplicate the shear_pallas row
-            layouts = ("wrapped", "shear", "shear_pallas")
+            # explicit 'pallas' redirects to the chunked kernel at this size
+            # (stepper._resolve_layout); it is kept in the sweep as evidence
+            # that the redirect compiles and runs on device (the round-2
+            # artifact recorded the pre-redirect Mosaic failure)
+            layouts = ("wrapped", "shear", "shear_pallas", "pallas")
         if only_layouts:
             layouts = only_layouts
         for layout in layouts:

@@ -43,6 +43,11 @@ def main():
                         help="also measure Casimir drift on host every this "
                              "many steps (0 = final state only); gives the "
                              "drift-vs-time curve for long runs")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume long runs from the state snapshot saved "
+                             "at the last Casimir milestone (requires "
+                             "--casimir-every; snapshots live next to the "
+                             "artifact as state_<N>_<config>.npz)")
     args = parser.parse_args()
 
     import numpy as np
@@ -90,10 +95,13 @@ def main():
         "initial": {"energy": e0, "enstrophy": z0},
         "rows": {},
     }
-    if args.only and os.path.exists(out_path):
+    if os.path.exists(out_path):
+        # always merge into an existing artifact: stored rows are only
+        # replaced by runs that got at least as far (see write_row)
         with open(out_path) as f:
-            results = json.load(f)
-        results["device"] = jax.devices()[0].device_kind
+            prev = json.load(f)
+        results["rows"] = prev.get("rows", {})
+        results["config"] = prev.get("config", results["config"])
     print(f"N={N}, {args.steps} steps on {results['device']}")
     print(f"{'config':<28}{'Casimir':>12}{'energy':>12}{'enstrophy':>12}"
           f"{'series-max dE':>14}{'steps/s':>9}")
@@ -129,6 +137,38 @@ def main():
         series = []
         iter_chunks = []
         casimir_series = []  # (step, drift) milestones for long runs
+        start_step = 0
+
+        slug = "".join(c if c.isalnum() else "_" for c in name)
+        state_path = os.path.join(os.path.dirname(out_path),
+                                  f"state_{N}_{slug}.npz")
+        if args.resume and os.path.exists(state_path):
+            snap = np.load(state_path)
+            if int(snap["step"]) < args.steps:
+                st = tuple(jnp.asarray(snap[k]) for k in ("W", "dW", "csum"))
+                start_step = int(snap["step"])
+                series = [np.asarray(x) for x in snap["series"]]
+                casimir_series = [list(map(float, x))
+                                  for x in snap["casimirs"]]
+                print(f"  [{name}] resuming from step {start_step}",
+                      flush=True)
+
+        def save_state(st, step_no):
+            np.savez(state_path, W=np.asarray(st[0]), dW=np.asarray(st[1]),
+                     csum=np.asarray(st[2]), step=step_no,
+                     series=np.asarray(series, dtype=np.float64),
+                     casimirs=np.asarray(casimir_series, dtype=np.float64))
+
+        def write_row(row, step_no):
+            # never clobber a more-complete stored row with a provisional
+            # one (a re-run killed mid-way must not erase finished data)
+            prev = results["rows"].get(name)
+            if prev is not None and not prev.get("partial"):
+                if step_no <= prev.get("steps", 0):
+                    return
+            results["rows"][name] = row
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=2)
 
         def call(st):
             out = fn(*st)
@@ -144,17 +184,17 @@ def main():
             casimir_series.append([step_no, drift])
             print(f"  [{name}] step {step_no}: Casimir {drift:.3e}",
                   flush=True)
-            # persist a provisional row at every milestone so a run killed
-            # mid-way (wall-clock budget, tunnel wedge) still leaves an
-            # honest partial artifact
-            results["rows"][name] = {
+            # persist a provisional row + a resumable state snapshot at
+            # every milestone so a run killed mid-way (wall-clock budget,
+            # tunnel wedge) still leaves an honest partial artifact and can
+            # be continued with --resume
+            write_row({
                 "maxit": maxit, "compsum": compsum, "refine": refine,
                 "steps": step_no, "partial": True,
                 "casimir_drift": drift,
                 "casimir_drift_milestones": list(casimir_series),
-            }
-            with open(out_path, "w") as f:
-                json.dump(results, f, indent=2)
+            }, step_no)
+            save_state(st, step_no)
 
         # first chunk compiles (20-80 s through the tunnel): run it before
         # starting the clock, else steps/s is compile-dominated and wildly
@@ -164,17 +204,17 @@ def main():
         series.append(np.asarray(diag))
         t0 = time.time()
         paused = 0.0
-        for k in range(args.steps // args.chunk - 1):
+        for k in range((args.steps - start_step) // args.chunk - 1):
             st, diag = call(st)
             series.append(np.asarray(diag))  # [energy, enstrophy] scalars
-            done = (k + 2) * args.chunk
+            done = start_step + (k + 2) * args.chunk
             if (args.casimir_every and done % args.casimir_every == 0
                     and done < args.steps):
                 tp = time.time()
                 casimir_now(st, done)
                 paused += time.time() - tp
         el = time.time() - t0 - paused
-        timed_steps = args.steps - args.chunk
+        timed_steps = args.steps - start_step - args.chunk
         series = np.asarray(series, dtype=np.float64)
         Wf = from_planes(np.asarray(st[0])).astype(np.complex128)
         spec = np.sort(np.linalg.eigvalsh(-1j * Wf))
@@ -204,9 +244,10 @@ def main():
         if casimir_series:
             row["casimir_drift_milestones"] = casimir_series + [
                 [args.steps, cd]]
-        results["rows"][name] = row
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=2)
+        if start_step:
+            row["resumed_from_step"] = start_step
+        write_row(row, args.steps)
+        save_state(st, args.steps)
     print(f"written {out_path}")
 
 

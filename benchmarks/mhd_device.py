@@ -135,11 +135,14 @@ def main():
                          .astype(np.float32))
         st = (Sp, jnp.zeros_like(Sp), jnp.zeros_like(Sp))
         st = fn(*st)[:3]  # compile excluded from timing
-        t0 = time.time()
-        for _ in range(args.steps // args.chunk - 1):
-            st = fn(*st)[:3]
         float(probe(st[0]))
-        el = time.time() - t0
+        # per-chunk timings -> median steps/s (robust to tunnel stalls)
+        times = []
+        for _ in range(args.steps // args.chunk - 1):
+            t0 = time.time()
+            st = fn(*st)[:3]
+            float(probe(st[0]))
+            times.append(time.time() - t0)
         Sf = from_planes(np.asarray(st[0])).astype(np.complex128)
         k1, m1, c1 = invariants(Sf)
         specT = np.sort(np.linalg.eigvalsh(-1j * Sf[1]))
@@ -150,7 +153,7 @@ def main():
             "total_energy_drift": abs((k1 + m1) - (k0 + m0)),
             "cross_helicity_drift": abs(c1 - c0),
             "initial": {"kinetic": k0, "magnetic": m0, "cross_helicity": c0},
-            "steps_per_sec": round((args.steps - args.chunk) / el, 1),
+            "steps_per_sec": round(args.chunk / float(np.median(times)), 1),
         }
         print(f"MHD conservation N={N} over {args.steps} steps: "
               f"Theta-Casimir {row['theta_casimir_drift']:.3e}, "

@@ -83,12 +83,17 @@ def main():
         Wp = jnp.asarray(Wp0)
         st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
         st = list(fn(*st))  # compile + first chunk
-        t0 = time.time()
+        float(jnp.sum(st[0][0, 0, :8]))  # block before the clock starts
+        # per-chunk median: robust to the tunnel's sporadic multi-second
+        # stalls (a single total-elapsed measurement let one stall corrupt
+        # a whole config row - the 16.7-vs-168.8 artifact of round 2)
+        times = []
         for _ in range(args.steps // args.chunk - 1):
+            t0 = time.time()
             st = list(fn(*st))
-        float(jnp.sum(st[0][0, 0, :8]))
-        el = time.time() - t0
-        sps = (args.steps - args.chunk) / el
+            float(jnp.sum(st[0][0, 0, :8]))
+            times.append(time.time() - t0)
+        sps = args.chunk / float(np.median(times))
         Wf = from_planes(np.asarray(st[0])).astype(np.complex128)
         spec = np.sort(np.linalg.eigvalsh(-1j * Wf))
         cd = float(np.abs(spec - spec0).max())

@@ -460,8 +460,10 @@ def build_step_fn(
     final iterations determine the update's accuracy (the same schedule the
     double-word stepper uses with f32 warm iterations, build_dw_step_fn).
     GEMMs dominate the step at N >= 1024, so 'high' warm iterations cut
-    wall-clock ~25-35% at unchanged trajectory accuracy (validated on
-    device: see benchmarks/mixed_precision.json).  In adaptive (tol) mode
+    wall-clock ~14% (266 -> 308 steps/s at N=1024, maxit=5) at unchanged
+    trajectory accuracy: Casimir drift 4.16e-6 vs 4.06e-6 over 1000 steps,
+    max trajectory deviation 8.7e-8 (measured on device,
+    benchmarks/mixed_precision.json).  In adaptive (tol) mode
     the warm phase is ``warm_iters`` fixed iterations before the
     full-precision while_loop, and the iteration-count output includes only
     the full-precision iterations.
