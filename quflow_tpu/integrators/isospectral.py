@@ -130,6 +130,7 @@ def _build_isomp_scan(
     timed,
     maxit,
     minit,
+    dt_static=None,
 ):
     """Build the jitted multi-step runner.  Returns
     run(W, dW, csum, time, vareps, tol, dt, steps)->(W,dW,csum,time,iters,nmaxit,PWc)
@@ -181,7 +182,11 @@ def _build_isomp_scan(
     def step(carry, _):
         W, dW, csum, upd, time, vareps, tol, dt, iters, nmaxit = carry
         if strang_splitting is not None:
-            W = strang_splitting(dt / 2, W)
+            # the CONCRETE dt (not the traced carry value) goes to the
+            # splitting hook: operator-building callables like
+            # solve_viscdamp/solve_heat factorize per h and need a python
+            # float, exactly as in the reference (isospectral.py:466-467)
+            W = strang_splitting(dt_static / 2, W)
         if reinitialize:
             dW = jnp.zeros_like(dW)
         dW, PWc, FW, i, hit = fixed_point(W, dW, time, vareps, tol, dt)
@@ -199,7 +204,7 @@ def _build_isomp_scan(
         if timed:
             time = time + dt
         if strang_splitting is not None:
-            W = strang_splitting(dt / 2, W)
+            W = strang_splitting(dt_static / 2, W)
         return (
             W,
             dW,
@@ -299,6 +304,11 @@ def isomp_fixedpoint(
             stats["tol_auto"] = tol
 
     timed = time is not None
+    # dt enters the step program as a traced carry value EXCEPT for the
+    # Strang hook, which receives the concrete float (operator-building
+    # callables factorize per h); the cache key therefore includes dt only
+    # when a splitting hook is present.
+    dt_static = float(dt) if strang_splitting is not None else None
     key = (
         hamiltonian,
         forcing,
@@ -311,6 +321,7 @@ def isomp_fixedpoint(
         timed,
         maxit,
         minit,
+        dt_static,
     )
     run = _get_stepper(
         key,
@@ -326,6 +337,7 @@ def isomp_fixedpoint(
             timed,
             maxit,
             minit,
+            dt_static,
         ),
     )
 

@@ -54,12 +54,15 @@ class EulerFlow:
         """Advance ``steps`` isospectral midpoint steps."""
         return isomp_fixedpoint(W, dt, steps=steps, **kwargs)
 
-    def stepper(self, dt, steps, maxit=5, minit=5, compsum=True):
+    def stepper(self, dt, steps, maxit=5, minit=5, compsum=True, **kwargs):
         """Return a pure jittable W -> W function taking ``steps`` branch-free
         midpoint steps with a fixed number of fixed-point iterations (the
-        TPU production configuration: no host syncs inside the loop)."""
+        TPU production configuration: no host syncs inside the loop).
+        Physics hooks (``forcing``, ``strang_splitting``, ``hamiltonian``)
+        and all other build_step_fn options pass through ``kwargs``."""
         from ..parallel.stepper import build_step_fn
 
         return build_step_fn(
-            self.N, dt, steps=steps, maxit=maxit, dtype=self.dtype, compsum=compsum
+            self.N, dt, steps=steps, maxit=maxit, dtype=self.dtype,
+            compsum=compsum, **kwargs
         )

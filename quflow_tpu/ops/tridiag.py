@@ -37,6 +37,7 @@ from jax import lax
 __all__ = [
     "packed_laplacian",
     "shear_laplacian",
+    "shear_operator",
     "solve_factored",
     "dot_packed",
     "TridiagFactors",
@@ -124,6 +125,70 @@ def shear_laplacian(N, bc=False, dtype=np.float64):
     if bc:
         op[0, 0, 0] -= 0.5
     return op
+
+
+@lru_cache(maxsize=64)
+def _shear_slots(N):
+    """Slot geometry of the shear view (see diagpack.mat2shear): for system
+    (column) j, position i, the matrix entry (r, c) it holds and whether the
+    slot is a real matrix element (``valid``; the one pad slot per column
+    j >= 1 is not)."""
+    j = np.arange(N + 1)[:, None]
+    i = np.arange(N)[None, :]
+    in_first = i + j < N  # upper diagonal j, position i
+    r = np.where(in_first, i, i + 1)
+    c = np.where(in_first, i + j, i + j - N)
+    valid = in_first | (r < N)  # pad slot: i = N-1 in columns j >= 1
+    return (np.where(valid, r, 0).astype(np.int64),
+            np.where(valid, c, 0).astype(np.int64), valid)
+
+
+def shear_operator(N, kind="poisson", params=(), dtype=np.float64):
+    """Operator family in the shear layout, shape (N+1, 2, N).
+
+    Same families as the row-packed registry (ops/laplacian._factors),
+    built for the shear solve (systems along columns, see
+    :func:`shear_laplacian`):
+
+      ('poisson', ())                   lap with the trace bc
+      ('heat', (h_nu,))                 I - h_nu * lap
+      ('helmholtz', (alpha,))           I - alpha * lap
+      ('viscdamp', (h, nu, alpha, th))  (1 + h a th) - h nu th * lap
+      ('globalqg', (gamma,))            lap - (gamma/2)(z_r^2 + z_c^2)
+                                        (reference laplacian/cpu.py:829-877)
+
+    Pad slots keep main coefficient 1 / coupling 0 regardless of the family
+    (their values are never read back; the factorization just has to stay
+    regular).
+    """
+    lap = shear_laplacian(N, bc=(kind == "poisson"))
+    rr, cc, valid = _shear_slots(N)
+    d = np.where(valid, lap[:, 0, :], 0.0)
+    e = lap[:, 1, :]  # already 0 at junctions and into pads
+    if kind == "poisson":
+        return lap.astype(dtype)
+    if kind == "heat":
+        (h_nu,) = params
+        od, oe = 1.0 - h_nu * d, -h_nu * e
+    elif kind == "helmholtz":
+        (alpha,) = params
+        od, oe = 1.0 - alpha * d, -alpha * e
+    elif kind == "viscdamp":
+        h, nu, alpha, theta = params
+        od = (1.0 + h * alpha * theta) - (h * nu * theta) * d
+        oe = -(h * nu * theta) * e
+    elif kind == "globalqg":
+        from .geometry import hbar
+
+        (gamma,) = params
+        s = (N - 1) / 2.0
+        z = hbar(N) * np.arange(-s, s + 1)
+        od = d - (gamma / 2.0) * (z[rr] ** 2 + z[cc] ** 2)
+        oe = e
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    od = np.where(valid, od, 1.0)
+    return np.stack([od, oe], axis=1).astype(dtype)
 
 
 class TridiagFactors:
@@ -252,19 +317,20 @@ def dot_packed(op, d):
 
 
 @lru_cache(maxsize=16)
-def _m0_semisep(N):
-    """Semiseparable factors (u, v) of the bc'd m=0 Poisson system inverse:
+def _m0_semisep(N, kind="poisson", params=()):
+    """Semiseparable factors (u, v) of the m=0 system inverse for any
+    operator family (bc'd Poisson by default):
     T^-1[i, j] = u_j v_i for j <= i and u_i v_j for j > i (any tridiagonal
     inverse has this structure).  Obtained from two O(N) banded solves
     (first/last columns of T^-1), scale-balanced; entries are O(1) - the
-    trace bc caps the spectrum at -1/2.  The refinement correction
-    T^-1 @ r then costs two cumsums + elementwise, with two length-N
-    constants: a dense inverse here (67 MB at N=4096) overflows the
-    compile-request size limit of remote-compile tunnels, and a scan solve
-    costs minutes of compile time."""
+    trace bc (or the family's zeroth-order term) caps the spectrum away
+    from 0.  The refinement correction T^-1 @ r then costs two cumsums +
+    elementwise, with two length-N constants: a dense inverse here (67 MB
+    at N=4096) overflows the compile-request size limit of remote-compile
+    tunnels, and a scan solve costs minutes of compile time."""
     from scipy.linalg import solve_banded
 
-    opb = shear_laplacian(N, bc=True)
+    opb = shear_operator(N, kind, params)
     main = opb[0, 0, :]
     off = opb[0, 1, :]
     ab = np.zeros((3, N))
@@ -282,15 +348,17 @@ def _m0_semisep(N):
     return (u / s).astype(np.float32), (v * s).astype(np.float32)
 
 
-def m0_correction(x0, d0, main, off):
+def m0_correction(x0, d0, main, off, ham=("poisson", ())):
     """Semiseparable f64-residual correction for the m=0 system alone:
     ``x0``/``d0`` are the (..., N) solution/rhs of the main-diagonal system,
     ``main``/``off`` its f64 coefficients.  Returns the additive correction
     T^-1 (d0 - T x0) via the cached semiseparable inverse factors (two
-    cumsums; see :func:`_m0_semisep`)."""
+    cumsums; see :func:`_m0_semisep`).  ``ham`` = (kind, params) selects the
+    operator family the cached inverse corresponds to; it must match
+    ``main``/``off``."""
     ld = x0.real.dtype
     rd = main.dtype  # f64 host constants
-    uu, vv = _m0_semisep(x0.shape[-1])
+    uu, vv = _m0_semisep(x0.shape[-1], *ham)
     uu = jnp.asarray(uu, dtype=ld)
     vv = jnp.asarray(vv, dtype=ld)
 
@@ -311,7 +379,7 @@ def m0_correction(x0, d0, main, off):
     return channel(x0, d0)
 
 
-def refine_m0(x, d, op, axis):
+def refine_m0(x, d, op, axis, ham=("poisson", ())):
     """One f64-residual refinement of the m=0 (main-diagonal) system only.
 
     The f32 solve error is concentrated in the ill-conditioned m=0 system
@@ -335,7 +403,7 @@ def refine_m0(x, d, op, axis):
         main = jnp.asarray(op[0, :, 0])
         off = jnp.asarray(op[1, :, 0])
 
-    corr = m0_correction(x0, d0, main, off)
+    corr = m0_correction(x0, d0, main, off, ham=ham)
 
     # masked write-back (scatters at constant index mispartition under
     # GSPMD when the packed axis is sharded; see diagpack.subtract_row0_mean)

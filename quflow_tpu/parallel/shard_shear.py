@@ -163,7 +163,8 @@ def _dist_affine_scan(cf, v, axis_name, s, reverse=False):
     return y
 
 
-def solve_shear_sharded(w, binv, u, D, mesh, batched=False, m0_op=None):
+def solve_shear_sharded(w, binv, u, D, mesh, batched=False, m0_op=None,
+                        ham=("poisson", ())):
     """Solve the shear-layout batched tridiagonal systems with the rows
     (recurrence axis) sharded over the mesh.
 
@@ -177,7 +178,8 @@ def solve_shear_sharded(w, binv, u, D, mesh, batched=False, m0_op=None):
     every shard (negligible traffic), the correction is computed redundantly
     and each shard adds its own chunk - no sharded cumsum, no scatter, which
     sidesteps the scan-row-layout m0 write-back pathology (see
-    parallel/stepper.py NOTE).
+    parallel/stepper.py NOTE).  ``ham`` = (kind, params) names the operator
+    family of ``m0_op`` (the cached semiseparable inverse must match).
     """
     from ..ops.tridiag import m0_correction
 
@@ -211,7 +213,7 @@ def solve_shear_sharded(w, binv, u, D, mesh, batched=False, m0_op=None):
             # column 0 (the m=0 system) replicated to every shard
             x0 = lax.all_gather(x[..., :, 0], "tp", axis=x.ndim - 2, tiled=True)
             d0 = lax.all_gather(Dl[..., :, 0], "tp", axis=x.ndim - 2, tiled=True)
-            corr = m0_correction(x0, d0, m0_main, m0_off)
+            corr = m0_correction(x0, d0, m0_main, m0_off, ham=ham)
             k = lax.axis_index("tp")
             corr_loc = lax.dynamic_slice_in_dim(corr, k * c, c, axis=-1)
             mask = np.zeros((1, x.shape[-1]), dtype=bool)

@@ -51,6 +51,7 @@ from ..ops.diagpack import (
 from ..ops.tridiag import (
     solve_factored,
     shear_laplacian,
+    shear_operator,
     TridiagFactors,
     refine_m0,
     refine_m0_interleaved,
@@ -140,7 +141,7 @@ def _mesh_pad_rows(N, mesh, layout="shard"):
 
 
 def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
-                  layout="auto", refine=0, op=None):
+                  layout="auto", refine=0, op=None, ham=("poisson", ())):
     """Poisson core in a chosen solve layout (see _resolve_layout for the
     automatic policy):
 
@@ -226,7 +227,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
             base=base,
         )
         if m0_only:
-            x = refine_m0(x, d, op, axis=-2)
+            x = refine_m0(x, d, op, axis=-2, ham=ham)
         x = subtract_col0_mean(x)
         return shear2mat(x)
     if layout == "shear_shard":
@@ -246,7 +247,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         d = pack_shear_sharded(W, mesh, batched=batched, tracefree=True)
         x = solve_shear_sharded(
             w, binv, u, d, mesh, batched=batched,
-            m0_op=(op if m0_only else None),
+            m0_op=(op if m0_only else None), ham=ham,
         )
         x = subtract_col0_mean(x)
         Pmat = unpack_shear_sharded(x, mesh, batched=batched)
@@ -263,7 +264,8 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
             # measured to persist even with this barrier; the shear and
             # pallas paths are unaffected).  The production layout is
             # shear; row layouts are escape hatches best used refine=0.
-            x = lax.optimization_barrier(refine_m0(x, d, op, axis=-1))
+            x = lax.optimization_barrier(
+                refine_m0(x, d, op, axis=-1, ham=ham))
         x = subtract_row0_mean(x)
         Pmat = unpack_wrapped_sharded(x, mesh, batched=batched)
         return lax.with_sharding_constraint(Pmat, NamedSharding(fm, dense_spec))
@@ -283,7 +285,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     x = solve_factored(_Fac(w, binv, u), d, refine=refine_full, op=op, base=base)
     if m0_only:
         # same scan-row-layout pathology hazard as the shard path (see NOTE)
-        x = lax.optimization_barrier(refine_m0(x, d, op, axis=-1))
+        x = lax.optimization_barrier(refine_m0(x, d, op, axis=-1, ham=ham))
     x = subtract_row0_mean(x)
     if layout in ("wrapped", "pallas"):
         Pmat = wrapped2mat(x)
@@ -298,11 +300,12 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
 
 
 @lru_cache(maxsize=32)
-def _shear_factors_cached(N):
-    """Host-prefactorized shear-layout Poisson operator: factors transposed
-    to (N, N+1) for the axis=-2 scan, refinement op channel-first
-    (2, N, N+1) in f64."""
-    op_bc = shear_laplacian(N, bc=True)
+def _shear_factors_cached(N, kind="poisson", params=()):
+    """Host-prefactorized shear-layout operator for a solve family
+    (``kind``/``params`` as in ops/tridiag.shear_operator; Poisson by
+    default): factors transposed to (N, N+1) for the axis=-2 scan,
+    refinement op channel-first (2, N, N+1) in f64."""
+    op_bc = shear_operator(N, kind, params)
     fac = TridiagFactors(op_bc)
     # refinement must evaluate residuals of the SAME (bc'd) system the base
     # solve factorizes, in f64 (see solve_factored)
@@ -316,8 +319,9 @@ def _shear_factors_cached(N):
 
 
 def _real_factors(N, rdtype, pad_rows=0, with_op=False, wrapped=False,
-                  shear=False, device=True):
-    """Prefactorized Poisson operator arrays for the stepper.
+                  shear=False, device=True, kind="poisson", params=()):
+    """Prefactorized solve-family operator arrays for the stepper
+    (``kind``/``params`` select the family; Poisson by default).
 
     With ``device`` (default) the factors are returned as jax device
     arrays: closed over by a jitted program they become runtime parameters
@@ -328,20 +332,21 @@ def _real_factors(N, rdtype, pad_rows=0, with_op=False, wrapped=False,
     numpy (needed when factors are constructed *inside* a jit trace, e.g.
     the operator registry path - device_put there would leak tracers).
     """
-    out = _real_factors_host(N, rdtype, pad_rows, with_op, wrapped, shear)
+    out = _real_factors_host(N, rdtype, pad_rows, with_op, wrapped, shear,
+                             kind, params)
     if device:
         out = tuple(jnp.asarray(a) if a is not None else None for a in out)
     return out if with_op else out[:3]
 
 
 def _real_factors_host(N, rdtype, pad_rows=0, with_op=False, wrapped=False,
-                       shear=False):
+                       shear=False, kind="poisson", params=()):
     rd = np.dtype(rdtype)
     if shear:
-        w, binv, u, op = _shear_factors_cached(N)
+        w, binv, u, op = _shear_factors_cached(N, kind, params)
         w, binv, u = w.astype(rd), binv.astype(rd), u.astype(rd)
         return (w, binv, u, op if with_op else None)
-    fac = _factors(N, not wrapped, "poisson", ())
+    fac = _factors(N, not wrapped, kind, params)
     w, binv, u = fac.w.astype(rd), fac.binv.astype(rd), fac.u.astype(rd)
     # the refinement operator stays float64: residuals must be evaluated
     # beyond working precision (elementwise only, cheap even emulated)
@@ -368,6 +373,63 @@ def from_planes(Wri):
     """Stacked real planes (2, ..., N, N) -> complex (..., N, N)."""
     Wri = np.asarray(Wri)
     return Wri[0] + 1j * Wri[1]
+
+
+def _has_time_param(fn):
+    import inspect
+
+    try:
+        return "time" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):  # builtins / odd callables: assume not
+        return False
+
+
+def _resolve_ham(hamiltonian):
+    """Normalize the production steppers' ``hamiltonian`` argument.
+
+    Returns ``(kind, params, callable, timed)``: named prefactorizable
+    families resolve to ``(kind, params, None, False)``; a traceable
+    callable ``W -> P`` resolves to ``(None, None, fn, timed)`` with
+    ``timed`` set when the callable's signature has a ``time`` parameter
+    (the reference detects this by TypeError probing,
+    isospectral.py:415-423; signature inspection is the build-time
+    equivalent)."""
+    if hamiltonian is None or hamiltonian == "poisson":
+        return "poisson", (), None, False
+    if callable(hamiltonian):
+        return None, None, hamiltonian, _has_time_param(hamiltonian)
+    if isinstance(hamiltonian, str):
+        return hamiltonian, (), None, False
+    kind, *params = hamiltonian
+    return str(kind), tuple(float(p) for p in params), None, False
+
+
+def _resolve_strang_named(strang_splitting, dt):
+    """Normalize a named ``strang_splitting`` spec into the operator-family
+    key for the half-step solve at h = dt/2.
+
+    Returns ``(kind, params, theta_rhs)`` where ``theta_rhs`` is
+    ``(coeff_W, coeff_lapW)`` for the explicit part of the theta scheme
+    (None when theta == 1, i.e. pure backward Euler - no Laplacian apply
+    needed)."""
+    kind, spec = strang_splitting
+    h = dt / 2.0
+    if kind == "heat":
+        nu = float(spec["nu"] if isinstance(spec, dict) else spec)
+        return "heat", (h * nu,), None
+    if kind == "viscdamp":
+        p = dict(nu=1e-4, alpha=0.01, theta=1.0)
+        p.update(spec)
+        nu, alpha, theta = float(p["nu"]), float(p["alpha"]), float(p["theta"])
+        theta_rhs = None
+        if theta != 1.0:
+            theta_rhs = (1.0 - alpha * h * (1.0 - theta),
+                         nu * h * (1.0 - theta))
+        return "viscdamp", (h, nu, alpha, theta), theta_rhs
+    raise ValueError(
+        f"unknown named strang_splitting kind {kind!r}; use 'heat', "
+        "'viscdamp', or pass a traceable callable (h, W) -> W"
+    )
 
 
 def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=True,
@@ -423,6 +485,9 @@ def build_step_fn(
     minit=1,
     warm_precision=None,
     warm_iters=None,
+    hamiltonian="poisson",
+    forcing=None,
+    strang_splitting=None,
 ):
     """Build the jitted multi-step isospectral-midpoint runner.
 
@@ -430,6 +495,38 @@ def build_step_fn(
     calls (warm-started fixed point + Kahan compensation state), or pass
     zeros.  All shapes static; ``batched`` enables a leading ensemble axis
     sharded over 'dp'.
+
+    ``hamiltonian``: 'poisson' (default), a named prefactorizable operator
+    family ``(kind, *params)`` - e.g. ``('globalqg', gamma)`` for the
+    quasi-geostrophic stream operator (reference laplacian/cpu.py:829-877),
+    also ('helmholtz', alpha) / ('heat', h_nu) / ('viscdamp', h, nu, a, th)
+    - or a jax-traceable callable ``W -> P`` (``(W, time=t) -> P`` for
+    non-autonomous; the general escape hatch, at whatever speed the
+    callable achieves).  Named families run through the same prefactorized
+    layout machinery as Poisson at identical cost, including the f32
+    refine='m0' correction (the semiseparable m0 inverse is built per
+    family).
+
+    ``forcing``: jax-traceable ``f(P, W)`` or ``f(P, W, time=t)`` (detected
+    from the signature), evaluated inside every fixed-point iteration on
+    the unscaled midpoint pair and applied exactly as the reference does
+    (FW = f(...) * dt/2 added to dW each iteration; W += 2*FW after the
+    loop; reference isospectral.py:404-423, 509-520).
+
+    ``strang_splitting``: operator-splitting hook applied for dt/2 before
+    and after each step (reference isospectral.py:466-467, 601-603).
+    Either a jax-traceable callable ``(h, W) -> W``, or a named dissipation
+    prefactorized at h = dt/2 into the production solve layout:
+    ``('heat', {'nu': nu})`` for (I - h nu Delta)^-1, or
+    ``('viscdamp', {'nu': .., 'alpha': .., 'theta': ..})`` for the
+    theta-scheme of W' - nu Delta W + alpha W = 0 (defaults nu=1e-4,
+    alpha=0.01, theta=1).  The named forms cost one extra tridiagonal solve
+    per half-step (O(N^2), negligible next to the GEMMs).
+
+    When ``forcing`` or a callable ``hamiltonian`` is time-dependent the
+    returned runner takes one extra trailing argument:
+    ``fn(W, dW, csum, t0)``; time advances internally by dt per step
+    (pass ``t0 + steps*dt`` to the next call).
 
     With ``planes_io`` (default; required on TPU, where complex host<->device
     transfers are unimplemented) each of W/dW/csum is passed as stacked real
@@ -471,6 +568,9 @@ def build_step_fn(
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     layout = _resolve_layout(N, mesh, layout)
     pad = _mesh_pad_rows(N, mesh, layout)
+    ham_kind, ham_params, ham_callable, ham_timed = _resolve_ham(hamiltonian)
+    force_timed = forcing is not None and _has_time_param(forcing)
+    timed = ham_timed or force_timed
     if refine is None:
         # Data-driven default (benchmarks/conservation_1024.json: N=1024,
         # 10k device steps, c64): the m0-only refinement cuts Casimir drift
@@ -488,11 +588,38 @@ def build_step_fn(
             refine = "m0"
         else:
             refine = 0
-    w, binv, u, op = _real_factors(
-        N, rdtype, pad_rows=pad, with_op=True,
-        wrapped=(layout in ("wrapped", "shard", "pallas")),
-        shear=(layout in ("shear", "shear_pallas", "shear_shard")),
-    )
+    wrapped_layout = layout in ("wrapped", "shard", "pallas")
+    shear_layout = layout in ("shear", "shear_pallas", "shear_shard")
+    fac_tree = {}
+    if ham_callable is None:
+        w, binv, u, op = _real_factors(
+            N, rdtype, pad_rows=pad, with_op=True,
+            wrapped=wrapped_layout, shear=shear_layout,
+            kind=ham_kind, params=ham_params,
+        )
+        fac_tree.update(w=w, binv=binv, u=u, op=op)
+
+    # named Strang dissipation: prefactorize (I - (dt/2) nu theta Delta + ...)
+    # once at build time in the production layout; theta != 1 also needs the
+    # bare Laplacian for the explicit part of the theta scheme
+    strang_callable = None
+    s_theta_rhs = None
+    if strang_splitting is not None:
+        if callable(strang_splitting):
+            strang_callable = strang_splitting
+        else:
+            s_kind, s_params, s_theta_rhs = _resolve_strang_named(
+                strang_splitting, dt)
+            sw, sbinv, su, _ = _real_factors(
+                N, rdtype, pad_rows=pad, wrapped=wrapped_layout,
+                shear=shear_layout, kind=s_kind, params=s_params,
+            ) + (None,)
+            fac_tree.update(sw=sw, sbinv=sbinv, su=su)
+            if s_theta_rhs is not None:
+                fac_tree.update(slap=jnp.asarray(
+                    _mhd_lap_op(N, layout, rdtype, pad_rows=pad)))
+    half_dt = np.asarray(dt / 2.0, dtype=rdtype)
+    dt_r = np.asarray(dt, dtype=rdtype)
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
 
     def _make_mm(spec):
@@ -526,34 +653,80 @@ def build_step_fn(
     # version inlines closed-over (host or device) arrays as HLO literals,
     # and at O(N^2) factor sizes the serialized program (~200 MB at
     # N=4096) breaks tunneled remote-compile (HTTP 413).  _mk rebinds the
-    # program over traced factor parameters.
-    def _mk(w, binv, u, op):
-        def _iterate(W, dW, mmfn=mm):
-            Whalf = W + dW
-            Phalf = _poisson_core(
+    # program over a traced factor pytree.
+    def _mk(fac):
+        w, binv, u, op = (fac.get("w"), fac.get("binv"), fac.get("u"),
+                          fac.get("op"))
+
+        def apply_ham(Whalf, thalf):
+            if ham_callable is not None:
+                if ham_timed:
+                    return ham_callable(Whalf, time=thalf)
+                return ham_callable(Whalf)
+            return _poisson_core(
                 Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
                 refine=refine, op=op, layout=layout,
+                ham=(ham_kind, ham_params),
             )
-            Phalf = Phalf * vareps
+
+        if strang_callable is not None:
+            def strang_half(W):
+                return strang_callable(half_dt, W)
+        elif "sw" in fac:
+            def strang_half(W):
+                rhs = W
+                if s_theta_rhs is not None:
+                    cW, cL = s_theta_rhs
+                    lapW = _laplace_core(W, fac["slap"], layout=layout,
+                                         mesh=mesh, batched=batched)
+                    rhs = np.asarray(cW, rdtype) * W \
+                        + np.asarray(cL, rdtype) * lapW
+                # same trace handling as every solve (the reference solver
+                # subtracts/projects the trace unconditionally,
+                # cpu.py:311-352); dissipation operators are
+                # well-conditioned, so no refinement needed
+                return _poisson_core(
+                    rhs, fac["sw"], fac["sbinv"], fac["su"], mesh=mesh,
+                    batched=batched, pad_rows=pad, refine=0, layout=layout,
+                )
+        else:
+            strang_half = None
+
+        def _iterate(W, dW, FW, thalf, mmfn=mm):
+            Whalf = W + dW
+            Phalf = apply_ham(Whalf, thalf) * vareps
             PW = mmfn(Phalf, Whalf)
             PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
-            return mmfn(PW, Phalf) + PWc, PWc
+            dW_new = mmfn(PW, Phalf) + PWc
+            if forcing is not None:
+                # the reference evaluates forcing on the UNSCALED midpoint
+                # pair and weights it dt/2 (isospectral.py:509-520)
+                if force_timed:
+                    FW = forcing(Phalf / vareps, Whalf, time=thalf) * half_dt
+                else:
+                    FW = forcing(Phalf / vareps, Whalf) * half_dt
+                dW_new = dW_new + FW
+            return dW_new, PWc, FW
 
-        def fixed_point(W, dW):
-            st = (dW, jnp.zeros_like(W))
+        def _zero_fw(W):
+            # no forcing -> carry a free scalar instead of an (N, N) zero
+            return (jnp.zeros_like(W) if forcing is not None
+                    else jnp.zeros((), W.dtype))
+
+        def fixed_point(W, dW, thalf):
+            st = (dW, jnp.zeros_like(W), _zero_fw(W))
             if warm_iters:
                 def it_warm(k, st):
-                    return _iterate(W, st[0], mm_warm)
+                    return _iterate(W, st[0], st[2], thalf, mm_warm)
 
                 st = lax.fori_loop(0, warm_iters, it_warm, st)
 
             def it(k, st):
-                dW, _PWc = st
-                return _iterate(W, dW)
+                return _iterate(W, st[0], st[2], thalf)
 
             return lax.fori_loop(0, maxit - warm_iters, it, st)
 
-        def fixed_point_adaptive(W, dW):
+        def fixed_point_adaptive(W, dW, thalf):
             """Reference tolerance semantics on device: exit on converged or
             stalled residual (batch-max inf-norm; a global all-reduce per
             iteration under a mesh), capped at maxit.  Also returns the
@@ -563,55 +736,69 @@ def build_step_fn(
             inf = jnp.asarray(np.inf, dtype=rdtype)
 
             def cond(st):
-                i, _dW, _PWc, rn, rn_old = st
+                i, _dW, _PWc, _FW, rn, rn_old = st
                 done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
                 return (i < maxit) & ~done
 
             def body(st):
-                i, dW, _PWc, rn, _rn_old = st
-                dW_new, PWc = _iterate(W, dW)
-                rn_new = jnp.max(jnp.abs(dW_new - dW))
-                return (i + 1, dW_new, PWc, rn_new, rn)
+                i, dW, _PWc, FW, rn, _rn_old = st
+                dW_new, PWc, FW = _iterate(W, dW, FW, thalf)
+                # matrix inf-norm (max abs row sum), matching the
+                # reference's scipy norm(., inf) residual exactly
+                # (isospectral.py:522-536) - entrywise max exits
+                # differently at a real tolerance
+                rn_new = jnp.max(jnp.sum(jnp.abs(dW_new - dW), axis=-1))
+                return (i + 1, dW_new, PWc, FW, rn_new, rn)
 
             PWc0 = jnp.zeros_like(W)
+            FW0 = _zero_fw(W)
             if warm_iters:
                 def it_warm(k, st):
-                    return _iterate(W, st[0], mm_warm)
+                    return _iterate(W, st[0], st[2], thalf, mm_warm)
 
-                dW, PWc0 = lax.fori_loop(0, warm_iters, it_warm, (dW, PWc0))
-            st0 = (jnp.asarray(0, jnp.int32), dW, PWc0, inf, inf)
-            iters, dW, PWc, _, _ = lax.while_loop(cond, body, st0)
-            return dW, PWc, iters
+                dW, PWc0, FW0 = lax.fori_loop(
+                    0, warm_iters, it_warm, (dW, PWc0, FW0))
+            st0 = (jnp.asarray(0, jnp.int32), dW, PWc0, FW0, inf, inf)
+            iters, dW, PWc, FW, _, _ = lax.while_loop(cond, body, st0)
+            return dW, PWc, FW, iters
 
         def step(carry, _):
-            W, dW, csum = carry
+            W, dW, csum, t = carry
+            if strang_half is not None:
+                W = strang_half(W)
+            thalf = t + half_dt
             if tol is not None:
-                dW, PWc, iters = fixed_point_adaptive(W, dW)
+                dW, PWc, FW, iters = fixed_point_adaptive(W, dW, thalf)
             else:
-                dW, PWc = fixed_point(W, dW)
+                dW, PWc, FW = fixed_point(W, dW, thalf)
                 iters = jnp.asarray(maxit, jnp.int32)
             upd = 2.0 * PWc
             if compsum:
                 y = upd - csum
-                t = W + y
-                csum = (t - W) - y
-                W = t
+                tW = W + y
+                csum = (tW - W) - y
+                W = tW
             else:
                 W = W + upd
+            if forcing is not None:
+                # plain add outside the Kahan pair, exactly as the
+                # reference-semantics integrator does (isospectral.py
+                # parity; see integrators/isospectral._build_isomp_scan)
+                W = W + 2.0 * FW
+            t = t + dt_r
+            if strang_half is not None:
+                W = strang_half(W)
             # per-step iteration counts ride the scan ys: device-true stats
             # with no extra transfers beyond one (steps,) int32 output,
             # emitted only in adaptive mode (fixed mode is exact by
             # construction and keeps the historical 3-output signature)
-            return (W, dW, csum), (iters if tol is not None else None)
+            return (W, dW, csum, t), (iters if tol is not None else None)
 
-        def diagnostics(W):
+        def diagnostics(W, t):
             """On-device energy/enstrophy (f32/f64 scalars per state):
             monitoring long runs without any complex transfers or host
             math."""
-            P = _poisson_core(
-                W, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
-                refine=refine, op=op, layout=layout,
-            )
+            P = apply_ham(W, t)
             inner_WP = jnp.sum(W * jnp.conj(P), axis=(-2, -1)).real / N
             inner_WW = jnp.sum(W * jnp.conj(W), axis=(-2, -1)).real / N
             return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0], axis=-1)
@@ -619,23 +806,25 @@ def build_step_fn(
         return step, diagnostics
 
     @jax.jit
-    def run(w_, binv_, u_, op_, W, dW, csum):
-        step, diagnostics = _mk(w_, binv_, u_, op_)
-        (W, dW, csum), iters = lax.scan(step, (W, dW, csum), None, length=steps)
+    def run(fac, W, dW, csum, t0):
+        step, diagnostics = _mk(fac)
+        (W, dW, csum, t), iters = lax.scan(
+            step, (W, dW, csum, t0), None, length=steps)
         out = (W, dW, csum)
         if tol is not None:
             out = out + (iters,)
         if with_diagnostics:
-            out = out + (diagnostics(W),)
+            out = out + (diagnostics(W, t),)
         return out
 
     @jax.jit
-    def run_planes(w_, binv_, u_, op_, Wri, dWri, cri):
-        step, diagnostics = _mk(w_, binv_, u_, op_)
+    def run_planes(fac, Wri, dWri, cri, t0):
+        step, diagnostics = _mk(fac)
         W = lax.complex(Wri[0], Wri[1])
         dW = lax.complex(dWri[0], dWri[1])
         csum = lax.complex(cri[0], cri[1])
-        (W, dW, csum), iters = lax.scan(step, (W, dW, csum), None, length=steps)
+        (W, dW, csum, t), iters = lax.scan(
+            step, (W, dW, csum, t0), None, length=steps)
         out = (
             jnp.stack([W.real, W.imag]),
             jnp.stack([dW.real, dW.imag]),
@@ -644,12 +833,15 @@ def build_step_fn(
         if tol is not None:
             out = out + (iters,)
         if with_diagnostics:
-            out = out + (diagnostics(W),)
+            out = out + (diagnostics(W, t),)
         return out
 
-    if planes_io:
-        return lambda Wri, dWri, cri: run_planes(w, binv, u, op, Wri, dWri, cri)
-    return lambda W, dW, csum: run(w, binv, u, op, W, dW, csum)
+    runner = run_planes if planes_io else run
+    if timed:
+        return lambda *args: runner(
+            fac_tree, *args[:3], jnp.asarray(args[3], rdtype))
+    t0_fixed = jnp.asarray(0.0, rdtype)
+    return lambda a, b, c: runner(fac_tree, a, b, c, t0_fixed)
 
 
 class IsompTPU:
@@ -667,7 +859,8 @@ class IsompTPU:
 
     def __init__(self, maxit=5, precision="highest", compsum=True, refine=None,
                  dtype=np.complex64, mesh=None, batched=False, tol=None,
-                 minit=1, warm=True, warm_precision=None, warm_iters=None):
+                 minit=1, warm=True, warm_precision=None, warm_iters=None,
+                 hamiltonian="poisson", forcing=None, strang_splitting=None):
         self.maxit = maxit
         self.precision = precision
         self.compsum = compsum
@@ -679,6 +872,13 @@ class IsompTPU:
         self.minit = minit
         self.warm_precision = warm_precision
         self.warm_iters = warm_iters
+        # physics hooks are BUILD-time configuration (they are baked into
+        # the compiled program); see build_step_fn for the accepted forms
+        self.hamiltonian = hamiltonian
+        self.forcing = forcing
+        self.strang_splitting = strang_splitting
+        self._timed = ((forcing is not None and _has_time_param(forcing))
+                       or _resolve_ham(hamiltonian)[3])
         # warm=True threads dW (fixed-point warm start) and the Kahan
         # compensation between calls - fastest.  warm=False makes each call
         # a pure function of (W, dt, steps) like the reference integrators,
@@ -699,10 +899,26 @@ class IsompTPU:
                 tol=self.tol, minit=self.minit,
                 warm_precision=self.warm_precision,
                 warm_iters=self.warm_iters,
+                hamiltonian=self.hamiltonian, forcing=self.forcing,
+                strang_splitting=self.strang_splitting,
             )
         return self._fns[key]
 
-    def __call__(self, W, dt, steps=100, stats=None, **kwargs):
+    def __call__(self, W, dt, steps=100, stats=None, time=None, **kwargs):
+        # Unsupported integrator kwargs are a hard error: this stepper bakes
+        # its physics (hamiltonian/forcing/strang_splitting) into the
+        # compiled program at CONSTRUCTION time, so silently dropping a
+        # per-call kwarg would integrate the wrong equations without any
+        # signal.  The reference-semantics path (integrators.isomp) accepts
+        # them per call.
+        if kwargs:
+            raise TypeError(
+                f"IsompTPU does not accept per-call integrator kwargs "
+                f"{sorted(kwargs)}; configure them on the constructor "
+                f"instead, e.g. IsompTPU(hamiltonian=..., forcing=..., "
+                f"strang_splitting=..., tol=...), or use the "
+                f"reference-semantics integrator quflow_tpu.isomp."
+            )
         W_in = np.asarray(W)
         rd = np.float32 if self.dtype == np.complex64 else np.float64
         Wp = jnp.asarray(to_planes(W_in).astype(rd))
@@ -711,7 +927,13 @@ class IsompTPU:
             z = jnp.zeros_like(Wp)
             self._state = (z, z)
         dW, csum = self._state
-        res = self._fn(W_in.shape[-1], dt, steps)(Wp, dW, csum)
+        fn = self._fn(W_in.shape[-1], dt, steps)
+        if self._timed:
+            # non-autonomous forcing/hamiltonian: the runner threads time
+            # (sim.solve passes the current time on every call)
+            res = fn(Wp, dW, csum, 0.0 if time is None else float(time))
+        else:
+            res = fn(Wp, dW, csum)
         if self.tol is not None:
             Wp, dW, csum, iters = res
         else:
@@ -786,8 +1008,11 @@ def build_dw_step_fn(
     not clean dW enough).  ``dw_iters=maxit`` gives the pure-dw schedule.
 
     ``tol``: a float switches the dw phase to a lax.while_loop with the
-    reference's converged/stalled exit (residual inf-norm of dW between
-    iterations), capped at ``maxit`` total dw iterations after the fixed
+    reference's converged/stalled exit (residual = ENTRYWISE max of dW
+    between iterations here, not the reference's matrix inf-norm - norm-
+    equivalent within a factor N, and the dw exit is dominated by the
+    stall-at-f64-floor rule, so the committed conservation artifacts are
+    unaffected), capped at ``maxit`` total dw iterations after the fixed
     f32 warm phase; per-step dw iteration counts come back as an extra
     (steps,) int32 output.  The per-step Casimir error of the scheme is
     linear in the final fixed-point residual, so driving the residual to
@@ -1131,6 +1356,9 @@ def build_mhd_step_fn(
     minit=1,
     warm_precision=None,
     warm_iters=None,
+    hamiltonian="poisson",
+    forcing=None,
+    strang_splitting=None,
 ):
     """Jitted multi-step magnetic-midpoint runner on the two-component state
     (W, Theta) - first-class twin of :func:`build_step_fn` (the reference has
@@ -1147,6 +1375,22 @@ def build_mhd_step_fn(
     extra output like build_step_fn), and the mixed-precision fixed-point
     schedule (``warm_precision``/``warm_iters``, see build_step_fn).
 
+    Physics hooks (round-4 parity with build_step_fn):
+    ``hamiltonian`` selects the named prefactorizable family of the
+    stream-function solve (P = op^-1 W; e.g. ('globalqg', gamma)); the
+    magnetic component stays B = Delta Theta.  Callable Hamiltonians are
+    not supported here (the MHD Hamiltonian returns a (P, B) pair; use
+    integrators.magmp for arbitrary callables).  ``forcing`` is a traceable
+    ``f(P, S)`` or ``f(P, S, time=t)`` on the unscaled midpoint pair with S
+    the full (.., 2, N, N) state, applied exactly as the reference magmp
+    does (FW * dt/2 into dS each iteration, S += 2*FW after; reference
+    integrators/mhd.py:295-299, 395-405).  ``strang_splitting`` is a
+    traceable ``(h, S) -> S`` or a named dissipation
+    (('heat', {'nu': ..}) / ('viscdamp', {..})) applied per component for
+    dt/2 before and after each step (equal viscosity/resistivity in the
+    named form - pass a callable for distinct coefficients).  When forcing
+    is time-dependent the runner takes a trailing ``t0`` argument.
+
     Planes I/O shape (2, 2, N, N) = (re/im, component, N, N).
     Returns ``fn(Sri, dSri, cri) -> (Sri, dSri, cri[, iters])``; thread the
     warm-start/compensation state between calls or pass zeros.
@@ -1154,17 +1398,43 @@ def build_mhd_step_fn(
     rdtype = np.zeros(1, dtype=dtype).real.dtype
     layout = _resolve_layout(N, mesh, layout)
     pad = _mesh_pad_rows(N, mesh, layout)
+    ham_kind, ham_params, ham_callable, _ = _resolve_ham(hamiltonian)
+    if ham_callable is not None:
+        raise NotImplementedError(
+            "build_mhd_step_fn supports named Hamiltonian families only "
+            "(the MHD Hamiltonian returns a (P, B) pair); use "
+            "integrators.magmp for arbitrary callables"
+        )
+    force_timed = forcing is not None and _has_time_param(forcing)
+    timed = force_timed
     if refine is None:
         if np.dtype(rdtype) == np.float32 and layout not in ("shard", "scatter"):
             refine = "m0"
         else:
             refine = 0
+    wrapped_layout = layout in ("wrapped", "shard", "pallas")
+    shear_layout = layout in ("shear", "shear_pallas", "shear_shard")
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
-        wrapped=(layout in ("wrapped", "shard", "pallas")),
-        shear=(layout in ("shear", "shear_pallas", "shear_shard")),
+        wrapped=wrapped_layout, shear=shear_layout,
+        kind=ham_kind, params=ham_params,
     )
     lap_op = jnp.asarray(_mhd_lap_op(N, layout, rdtype, pad_rows=pad))
+    strang_callable = None
+    strang_fac = None
+    s_theta_rhs = None
+    if strang_splitting is not None:
+        if callable(strang_splitting):
+            strang_callable = strang_splitting
+        else:
+            s_kind, s_params, s_theta_rhs = _resolve_strang_named(
+                strang_splitting, dt)
+            strang_fac = _real_factors(
+                N, rdtype, pad_rows=pad, wrapped=wrapped_layout,
+                shear=shear_layout, kind=s_kind, params=s_params,
+            )
+    half_dt = np.asarray(dt / 2.0, dtype=rdtype)
+    dt_r = np.asarray(dt, dtype=rdtype)
     vareps = np.asarray(dt / (2.0 * hbar(N)), dtype=rdtype)
 
     def _prec_of(spec):
@@ -1183,7 +1453,10 @@ def build_mhd_step_fn(
     def _conj_t(A):
         return jnp.conj(jnp.swapaxes(A, -1, -2))
 
-    def _mk(w, binv, u, op, lap_op):
+    def _mk(fac):
+        w, binv, u, op, lap_op = (fac["w"], fac["binv"], fac["u"],
+                                  fac.get("op"), fac["lap"])
+
         def mm_at(a, b, p):
             return jnp.matmul(a, b, precision=p)
 
@@ -1191,7 +1464,34 @@ def build_mhd_step_fn(
             # batched states are (batch, 2, N, N); components live on axis -3
             return S[..., idx, :, :]
 
-        def _iterate(S, dS, p=prec):
+        if strang_callable is not None:
+            def strang_half(S):
+                return strang_callable(half_dt, S)
+        elif "sw" in fac:
+            def strang_solve(M):
+                rhs = M
+                if s_theta_rhs is not None:
+                    cM, cL = s_theta_rhs
+                    lapM = _laplace_core(M, lap_op, layout=layout,
+                                         mesh=mesh, batched=batched)
+                    rhs = np.asarray(cM, rdtype) * M \
+                        + np.asarray(cL, rdtype) * lapM
+                return _poisson_core(
+                    rhs, fac["sw"], fac["sbinv"], fac["su"], mesh=mesh,
+                    batched=batched, pad_rows=pad, refine=0, layout=layout,
+                )
+
+            def strang_half(S):
+                # per component: equal viscosity/resistivity in the named
+                # form (the stacked state cannot ride _poisson_core's
+                # batched sharding specs under a mesh)
+                Wn = strang_solve(_component(S, 0))
+                Tn = strang_solve(_component(S, 1))
+                return jnp.stack([Wn, Tn], axis=-3)
+        else:
+            strang_half = None
+
+        def _iterate(S, dS, FW, thalf, p=prec):
             def mm(a, b):
                 return mm_at(a, b, p)
 
@@ -1201,6 +1501,7 @@ def build_mhd_step_fn(
             Phalf = _poisson_core(
                 Whalf, w, binv, u, mesh=mesh, batched=batched, pad_rows=pad,
                 refine=refine, op=op, layout=layout,
+                ham=(ham_kind, ham_params),
             ) * vareps
             Bhalf = _laplace_core(
                 Thalf, lap_op, layout=layout, mesh=mesh, batched=batched,
@@ -1217,57 +1518,74 @@ def build_mhd_step_fn(
             mask[0] = True
             dS_new = dS_new + jnp.where(mask, extra[..., None, :, :],
                                         jnp.zeros((), dS_new.dtype))
-            return dS_new, PWc, BTc
+            if forcing is not None:
+                # reference magmp semantics: forcing on the unscaled
+                # midpoint pair, full-state FW, weighted dt/2
+                # (reference integrators/mhd.py:395-405)
+                if force_timed:
+                    FW = forcing(Phalf / vareps, Shalf, time=thalf) * half_dt
+                else:
+                    FW = forcing(Phalf / vareps, Shalf) * half_dt
+                dS_new = dS_new + FW
+            return dS_new, PWc, BTc, FW
 
-        def fixed_point(S, dS):
+        def _zero_fw(S):
+            return (jnp.zeros_like(S) if forcing is not None
+                    else jnp.zeros((), S.dtype))
+
+        def fixed_point(S, dS, thalf):
             z2 = jnp.zeros_like(S)
             z1 = jnp.zeros_like(_component(S, 0))
-            st = (dS, z2, z1)
+            st = (dS, z2, z1, _zero_fw(S))
             if warm_iters:
                 def it_warm(k, st):
-                    return _iterate(S, st[0], prec_warm)
+                    return _iterate(S, st[0], st[3], thalf, prec_warm)
 
                 st = lax.fori_loop(0, warm_iters, it_warm, st)
 
             def it(k, st):
-                dS, _PWc, _BTc = st
-                return _iterate(S, dS)
+                return _iterate(S, st[0], st[3], thalf)
 
             return lax.fori_loop(0, maxit - warm_iters, it, st)
 
-        def fixed_point_adaptive(S, dS):
+        def fixed_point_adaptive(S, dS, thalf):
             tol_j = jnp.asarray(tol, dtype=rdtype)
             inf = jnp.asarray(np.inf, dtype=rdtype)
 
             def cond(st):
-                i, _dS, _PWc, _BTc, rn, rn_old = st
+                i, _dS, _PWc, _BTc, _FW, rn, rn_old = st
                 done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
                 return (i < maxit) & ~done
 
             def body(st):
-                i, dS, _PWc, _BTc, rn, _rn_old = st
-                dS_new, PWc, BTc = _iterate(S, dS)
-                rn_new = jnp.max(jnp.abs(dS_new - dS))
-                return (i + 1, dS_new, PWc, BTc, rn_new, rn)
+                i, dS, _PWc, _BTc, FW, rn, _rn_old = st
+                dS_new, PWc, BTc, FW = _iterate(S, dS, FW, thalf)
+                # matrix inf-norm residual, matching the reference
+                rn_new = jnp.max(jnp.sum(jnp.abs(dS_new - dS), axis=-1))
+                return (i + 1, dS_new, PWc, BTc, FW, rn_new, rn)
 
             PWc0 = jnp.zeros_like(S)
             BTc0 = jnp.zeros_like(_component(S, 0))
+            FW0 = _zero_fw(S)
             if warm_iters:
                 def it_warm(k, st):
-                    return _iterate(S, st[0], prec_warm)
+                    return _iterate(S, st[0], st[3], thalf, prec_warm)
 
-                dS, PWc0, BTc0 = lax.fori_loop(
-                    0, warm_iters, it_warm, (dS, PWc0, BTc0))
-            st0 = (jnp.asarray(0, jnp.int32), dS, PWc0, BTc0, inf, inf)
-            iters, dS, PWc, BTc, _, _ = lax.while_loop(cond, body, st0)
-            return dS, PWc, BTc, iters
+                dS, PWc0, BTc0, FW0 = lax.fori_loop(
+                    0, warm_iters, it_warm, (dS, PWc0, BTc0, FW0))
+            st0 = (jnp.asarray(0, jnp.int32), dS, PWc0, BTc0, FW0, inf, inf)
+            iters, dS, PWc, BTc, FW, _, _ = lax.while_loop(cond, body, st0)
+            return dS, PWc, BTc, FW, iters
 
         def step(carry, _):
-            S, dS, csum = carry
+            S, dS, csum, t = carry
+            if strang_half is not None:
+                S = strang_half(S)
+            thalf = t + half_dt
             if tol is not None:
-                dS, PWc, BTc, iters = fixed_point_adaptive(S, dS)
+                dS, PWc, BTc, FW, iters = fixed_point_adaptive(S, dS, thalf)
             else:
-                dS, PWc, BTc = fixed_point(S, dS)
+                dS, PWc, BTc, FW = fixed_point(S, dS, thalf)
                 iters = jnp.asarray(maxit, jnp.int32)
             # W gets 2(PWc + BTc); Theta gets 2 PThetac (masked elementwise
             # add - no .at[] scatter, which mispartitions under GSPMD when
@@ -1279,31 +1597,43 @@ def build_mhd_step_fn(
             )
             if compsum:
                 y = upd - csum
-                t = S + y
-                csum = (t - S) - y
-                S = t
+                tS = S + y
+                csum = (tS - S) - y
+                S = tS
             else:
                 S = S + upd
-            return (S, dS, csum), (iters if tol is not None else None)
+            if forcing is not None:
+                S = S + 2.0 * FW
+            t = t + dt_r
+            if strang_half is not None:
+                S = strang_half(S)
+            return (S, dS, csum, t), (iters if tol is not None else None)
 
         return step
 
+    fac_tree = {"w": w, "binv": binv, "u": u, "op": op, "lap": lap_op}
+    if strang_fac is not None:
+        sw, sbinv, su = strang_fac
+        fac_tree.update(sw=sw, sbinv=sbinv, su=su)
+
     @jax.jit
-    def run(w_, binv_, u_, op_, lap_, S, dS, csum):
-        step = _mk(w_, binv_, u_, op_, lap_)
-        (S, dS, csum), iters = lax.scan(step, (S, dS, csum), None, length=steps)
+    def run(fac, S, dS, csum, t0):
+        step = _mk(fac)
+        (S, dS, csum, _t), iters = lax.scan(
+            step, (S, dS, csum, t0), None, length=steps)
         out = (S, dS, csum)
         if tol is not None:
             out = out + (iters,)
         return out
 
     @jax.jit
-    def run_planes(w_, binv_, u_, op_, lap_, Sri, dSri, cri):
-        step = _mk(w_, binv_, u_, op_, lap_)
+    def run_planes(fac, Sri, dSri, cri, t0):
+        step = _mk(fac)
         S = lax.complex(Sri[0], Sri[1])
         dS = lax.complex(dSri[0], dSri[1])
         csum = lax.complex(cri[0], cri[1])
-        (S, dS, csum), iters = lax.scan(step, (S, dS, csum), None, length=steps)
+        (S, dS, csum, _t), iters = lax.scan(
+            step, (S, dS, csum, t0), None, length=steps)
         out = (
             jnp.stack([S.real, S.imag]),
             jnp.stack([dS.real, dS.imag]),
@@ -1313,7 +1643,9 @@ def build_mhd_step_fn(
             out = out + (iters,)
         return out
 
-    if planes_io:
-        return lambda Sri, dSri, cri: run_planes(w, binv, u, op, lap_op,
-                                                 Sri, dSri, cri)
-    return lambda S, dS, csum: run(w, binv, u, op, lap_op, S, dS, csum)
+    runner = run_planes if planes_io else run
+    if timed:
+        return lambda *args: runner(
+            fac_tree, *args[:3], jnp.asarray(args[3], rdtype))
+    t0_fixed = jnp.asarray(0.0, rdtype)
+    return lambda a, b, c: runner(fac_tree, a, b, c, t0_fixed)
