@@ -96,8 +96,11 @@ def _resolve_layout(N, mesh, layout):
     loses to the chunked Pallas Thomas pipeline, so auto picks
     'shear_pallas' (shear pack + chunked VMEM serial-Thomas kernel,
     ops/pallas_solve._solve_T_chunked, tile=512/chunk=512): 5.03 vs
-    3.98 steps/s at N=4096 (poisson core 11.4 vs 17.7 ms; MFU 0.833 at
-    6-pass 'highest' accounting).  'wrapped' (all-N-rows barrel pack),
+    3.98 steps/s at N=4096 with karatsuba GEMMs (poisson core 11.4 vs
+    17.7 ms); the separate precision='highest' row runs 4.98 steps/s at
+    MFU 0.833 under its 6-pass flop accounting (sweep_round2.json - two
+    different rows, not one measurement).  'wrapped' (all-N-rows barrel
+    pack),
     'rolls', and 'pallas' (wrapped pack + monolithic kernel, redirected to
     the chunked kernel at N >= 4096) remain manual escape hatches."""
     if mesh is not None:
@@ -122,7 +125,14 @@ def _resolve_layout(N, mesh, layout):
         # will tile at this size (compile failure on v5e, recorded in
         # sweep_round2.json round 2); the chunked pipeline is the same
         # serial-Thomas kernel with bounded VMEM, so redirect instead of
-        # dying at compile time
+        # dying at compile time - but tell the user their explicit choice
+        # was overridden
+        import warnings
+        warnings.warn(
+            f"layout='pallas' at N={N} >= 4096 exceeds the monolithic "
+            "kernel's VMEM tiling on v5e (compile failure recorded in "
+            "benchmarks/sweep_round2.json); using 'shear_pallas' (chunked "
+            "VMEM Thomas) instead", stacklevel=3)
         return "shear_pallas"
     return layout
 

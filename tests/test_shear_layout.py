@@ -232,10 +232,17 @@ def test_interleaved_batched_poisson_core():
 def test_pallas_layout_redirects_to_chunked_at_4096():
     """Explicit layout='pallas' at N>=4096 resolves to the chunked kernel
     (the monolithic kernel's VMEM window fails Mosaic compile there,
-    sweep_round2.json round 2) instead of dying at compile time."""
+    sweep_round2.json round 2) instead of dying at compile time - and warns
+    that the explicit request was overridden."""
+    import warnings
+
     from quflow_tpu.parallel.stepper import _resolve_layout
 
-    assert _resolve_layout(4096, None, "pallas") == "shear_pallas"
-    assert _resolve_layout(8192, None, "pallas") == "shear_pallas"
-    # below the crossover the explicit request is honored
-    assert _resolve_layout(2048, None, "pallas") == "pallas"
+    with pytest.warns(UserWarning, match="shear_pallas"):
+        assert _resolve_layout(4096, None, "pallas") == "shear_pallas"
+    with pytest.warns(UserWarning, match="shear_pallas"):
+        assert _resolve_layout(8192, None, "pallas") == "shear_pallas"
+    # below the crossover the explicit request is honored, silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _resolve_layout(2048, None, "pallas") == "pallas"
