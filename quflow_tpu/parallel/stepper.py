@@ -102,9 +102,14 @@ def _resolve_layout(N, mesh, layout):
     different rows, not one measurement).  'wrapped' (all-N-rows barrel
     pack),
     'rolls', and 'pallas' (wrapped pack + monolithic kernel, redirected to
-    the chunked kernel at N >= 4096) remain manual escape hatches."""
+    the chunked kernel at N >= 4096) remain manual escape hatches.
+    'shear_pallas_il' = shear pack on the re/im-INTERLEAVED real view +
+    the same chunked kernel: skips the complex->planes deinterleave copies
+    around the solve (the serial Thomas kernel is lane-elementwise, so
+    interleaving costs it nothing; see benchmarks/glue_fusion_device.py)."""
     if mesh is not None:
-        if layout in (None, "auto", "shear", "shear_shard", "shear_pallas"):
+        if layout in (None, "auto", "shear", "shear_shard", "shear_pallas",
+                      "shear_pallas_il"):
             # sharded shear: 1 neighbor ppermute per pack/unpack (the shear
             # view is a flat reshape, so only the shard-boundary overlap
             # moves) + distributed affine scan with all-gathered carries -
@@ -177,21 +182,24 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
     if m0_only and op is None:
         raise ValueError("refine='m0' requires the f64 operator (op=...)")
     refine_full = 0 if m0_only else refine
-    if layout in ("shear", "shear_pallas"):
+    if layout in ("shear", "shear_pallas", "shear_pallas_il"):
         import os
 
-        # Interleaved variant (opt-in, OFF by default): solve on the
-        # re/im-interleaved real shear view - lane 2j+c is channel c of
-        # shear column j, factors column-duplicated - so the whole solve
-        # stays ONE real array, avoiding the complex path's ~6 extra
-        # full-array copies per solve.  Bit-exact to the complex path, but
-        # a large REGRESSION on v5e (measured: N=1024 shear poisson 0.21 ->
-        # 4.35 ms, N=512 step 1527 -> 175 steps/s): the odd/even lane
-        # interleaving defeats Mosaic's lane vectorization of the scan and
-        # the m0 write-back.  Kept for CPU experimentation only.
-        interleave = (
-            jnp.iscomplexobj(W)
-            and os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "0") != "0"
+        # Interleaved variant: solve on the re/im-interleaved real shear
+        # view - lane 2j+c is channel c of shear column j, factors
+        # column-duplicated - so the whole solve stays ONE real array,
+        # avoiding the complex path's ~6 extra full-array copies per solve.
+        # Bit-exact to the complex path.  On the SCAN solve it is a large
+        # v5e REGRESSION (measured: N=1024 shear poisson 0.21 -> 4.35 ms,
+        # N=512 step 1527 -> 175 steps/s - odd/even lane interleaving
+        # defeats Mosaic's lane vectorization of the scan and the m0
+        # write-back), so it stays env-gated there; the serial Thomas
+        # kernel is purely lane-elementwise, so 'shear_pallas_il' exposes
+        # interleave+kernel as a first-class layout for large N (see
+        # benchmarks/glue_fusion_device.py).
+        interleave = jnp.iscomplexobj(W) and (
+            layout == "shear_pallas_il"
+            or os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "0") != "0"
         )
         if interleave:
             d = mat2shear_interleaved(W, tracefree=True)
@@ -201,7 +209,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
             op2 = (jnp.repeat(jnp.asarray(op), 2, axis=-1)
                    if (op is not None and refine_full) else None)
             base = None
-            if layout == "shear_pallas":
+            if layout in ("shear_pallas", "shear_pallas_il"):
                 if os.environ.get("QUFLOW_PALLAS_KERNEL", "thomas") == "scan":
                     from ..ops.pallas_scan_solve import scan_base_cols
 
@@ -220,7 +228,7 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
             return shear2mat_interleaved(x)
         d = mat2shear(W, tracefree=True)
         base = None
-        if layout == "shear_pallas":
+        if layout == "shear_pallas":  # _il is interleave-only, handled above
             # 'scan' = blocked-affine-scan kernel (log2(chunk) full-width
             # VPU passes per block); 'thomas' = the round-2 serial kernel
             # (CH latency-bound row ops per block).
@@ -452,7 +460,8 @@ def build_poisson_fn(N, dtype=np.complex64, mesh=None, batched=False, planes_io=
     w, binv, u = _real_factors(
         N, rdtype, pad_rows=pad,
         wrapped=(layout in ("wrapped", "shard", "pallas")),
-        shear=(layout in ("shear", "shear_pallas", "shear_shard")),
+        shear=(layout in ("shear", "shear_pallas", "shear_pallas_il",
+                          "shear_shard")),
     )
 
     # factors enter as jit ARGUMENTS: this jax version inlines closed-over
@@ -599,7 +608,8 @@ def build_step_fn(
         else:
             refine = 0
     wrapped_layout = layout in ("wrapped", "shard", "pallas")
-    shear_layout = layout in ("shear", "shear_pallas", "shear_shard")
+    shear_layout = layout in ("shear", "shear_pallas", "shear_pallas_il",
+                              "shear_shard")
     fac_tree = {}
     if ham_callable is None:
         w, binv, u, op = _real_factors(
@@ -1312,7 +1322,7 @@ def _laplace_core(Pm, op, layout="wrapped", mesh=None, batched=False):
     ``op`` is the all-N-rows wrapped operator."""
     from ..ops.tridiag import dot_packed, dot_cols
 
-    if layout in ("shear", "shear_pallas"):
+    if layout in ("shear", "shear_pallas", "shear_pallas_il"):
         return shear2mat(dot_cols(op, mat2shear(Pm, tracefree=False)))
     if layout == "shard":
         fm = flat_mesh_view(mesh)
@@ -1336,7 +1346,7 @@ def _mhd_lap_op(N, layout, rdtype, pad_rows=0):
     """bc=False Laplacian operator in the layout _laplace_core expects."""
     from ..ops.tridiag import packed_laplacian
 
-    if layout in ("shear", "shear_pallas"):
+    if layout in ("shear", "shear_pallas", "shear_pallas_il"):
         opn = shear_laplacian(N, bc=False)
         return np.stack([opn[:, 0, :].T, opn[:, 1, :].T]).astype(rdtype)
     if layout in ("wrapped", "pallas", "shard"):
@@ -1423,7 +1433,8 @@ def build_mhd_step_fn(
         else:
             refine = 0
     wrapped_layout = layout in ("wrapped", "shard", "pallas")
-    shear_layout = layout in ("shear", "shear_pallas", "shear_shard")
+    shear_layout = layout in ("shear", "shear_pallas", "shear_pallas_il",
+                              "shear_shard")
     w, binv, u, op = _real_factors(
         N, rdtype, pad_rows=pad, with_op=True,
         wrapped=wrapped_layout, shear=shear_layout,

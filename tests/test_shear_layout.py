@@ -212,6 +212,54 @@ def test_interleaved_poisson_core_matches_complex_path(
         )
 
 
+@pytest.mark.parametrize("refine", [0, "m0"])
+def test_shear_pallas_il_layout_matches_complex_path(refine, monkeypatch):
+    """'shear_pallas_il' (first-class interleave+kernel layout, no env
+    needed) is bit-identical to the complex 'shear_pallas' path.  This is
+    the large-N glue-fusion candidate: the interleaved pack preserves
+    complex64's storage order, and the serial Thomas kernel is purely
+    lane-elementwise (benchmarks/glue_fusion_device.py measures it on
+    device)."""
+    from quflow_tpu.parallel.stepper import _poisson_core, _real_factors
+
+    monkeypatch.delenv("QUFLOW_SHEAR_INTERLEAVE", raising=False)
+    N = 48
+    W = _rand_skewh(N, seed=7, dtype=np.complex64)
+    w, binv, u, op = _real_factors(N, np.float32, with_op=True, shear=True)
+    Wj = jnp.asarray(W)
+    P0 = np.asarray(
+        _poisson_core(Wj, w, binv, u, layout="shear_pallas",
+                      refine=refine, op=op)
+    )
+    P1 = np.asarray(
+        _poisson_core(Wj, w, binv, u, layout="shear_pallas_il",
+                      refine=refine, op=op)
+    )
+    np.testing.assert_array_equal(P1, P0)
+
+
+def test_shear_pallas_il_step_matches():
+    """A full production step under layout='shear_pallas_il' matches the
+    complex shear_pallas step (same GEMMs, interleaved solve)."""
+    from quflow_tpu.parallel.stepper import build_step_fn, to_planes
+
+    N = 32
+    W = _rand_skewh(N, seed=11, dtype=np.complex64)
+    W /= np.abs(W).max()
+    dt = 0.25 * hbar(N)
+    Wp = jnp.asarray(to_planes(W).astype(np.float32))
+    z = jnp.zeros_like(Wp)
+    outs = {}
+    for layout in ("shear_pallas", "shear_pallas_il"):
+        fn = build_step_fn(N, dt, steps=3, maxit=3, dtype=np.complex64,
+                           compsum=True, planes_io=True, refine="m0",
+                           layout=layout)
+        outs[layout] = np.asarray(fn(Wp, z, z)[0])
+    np.testing.assert_allclose(
+        outs["shear_pallas_il"], outs["shear_pallas"], atol=1e-6
+    )
+
+
 def test_interleaved_batched_poisson_core():
     """Leading ensemble axes pass through the interleaved pack unchanged."""
     from quflow_tpu.parallel.stepper import _poisson_core, _real_factors
