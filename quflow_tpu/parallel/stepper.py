@@ -880,8 +880,10 @@ class IsompTPU:
     def __init__(self, maxit=5, precision="highest", compsum=True, refine=None,
                  dtype=np.complex64, mesh=None, batched=False, tol=None,
                  minit=1, warm=True, warm_precision=None, warm_iters=None,
-                 hamiltonian="poisson", forcing=None, strang_splitting=None):
+                 hamiltonian="poisson", forcing=None, strang_splitting=None,
+                 layout="auto"):
         self.maxit = maxit
+        self.layout = layout
         self.precision = precision
         self.compsum = compsum
         self.refine = refine
@@ -921,6 +923,7 @@ class IsompTPU:
                 warm_iters=self.warm_iters,
                 hamiltonian=self.hamiltonian, forcing=self.forcing,
                 strang_splitting=self.strang_splitting,
+                layout=self.layout,
             )
         return self._fns[key]
 
