@@ -37,30 +37,6 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "glue_fusion.json")
 
 
-def _bench(fn, args, reps, inner_chain=False):
-    """Median-of-5 amortized seconds per call.  With inner_chain the callable
-    must map its first arg to a like-shaped output; we chain it to defeat
-    cross-call caching."""
-    import numpy as np
-
-    fn(*args)  # compile
-    outs = []
-    for _ in range(5):
-        t0 = time.time()
-        if inner_chain:
-            x = args[0]
-            for _ in range(reps):
-                x = fn(x, *args[1:])
-            x.block_until_ready()
-        else:
-            for _ in range(reps):
-                r = fn(*args)
-            r = r[0] if isinstance(r, tuple) else r
-            r.block_until_ready()
-        outs.append((time.time() - t0) / reps)
-    return float(np.median(outs))
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", default="4096,8192")
@@ -73,14 +49,15 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from quflow_tpu.ops.geometry import hbar
     from quflow_tpu.ops.pallas_solve import pallas_base_cols
     from quflow_tpu.parallel.stepper import (
-        build_poisson_fn,
         build_step_fn,
         to_planes,
-        _shear_factors_cached,
+        _poisson_core,
+        _real_factors,
     )
 
     results = {"device": jax.devices()[0].device_kind,
@@ -99,35 +76,60 @@ def main():
         Wp = jnp.asarray(to_planes(W).astype(np.float32))
         point = {}
 
-        # --- kernel floor: chunked Thomas on pre-packed (2, N, M) planes
-        w, binv, u, _ = _shear_factors_cached(N)
-        base = pallas_base_cols(
-            np.asarray(w, np.float32), np.asarray(binv, np.float32),
-            np.asarray(u, np.float32))
-        d0 = jnp.zeros((2, N, N + 1), jnp.float32) + 1e-3
-        kfn = jax.jit(base)
-        point["kernel_only_ms"] = _bench(kfn, (d0,), reps, inner_chain=True) * 1e3
+        # --- factors as jit ARGUMENTS throughout (closed-over arrays inline
+        # as HLO literals; oversized programs break the tunneled
+        # remote-compile transport)
+        w, binv, u, op = _real_factors(N, np.float32, with_op=True,
+                                       shear=True)
 
-        # --- poisson cores, refine=0 (build_poisson_fn has no refine arg;
-        # the m0 effect is measured in the step rows).  planes I/O - note
-        # XLA may fuse the I/O planes->complex->pack chain, so the STEP rows
-        # (complex state between iterations) are the ground truth; these
-        # isolate the solve for attribution.
-        for name, env in (("complex", "0"), ("interleaved", "1")):
-            os.environ["QUFLOW_SHEAR_INTERLEAVE"] = env
-            pfn = build_poisson_fn(N, layout="shear_pallas")
-            ms = _bench(pfn, (Wp,), reps, inner_chain=True) * 1e3
-            point[f"poisson_{name}_ms"] = round(ms, 3)
+        # --- kernel floor: chunked Thomas on pre-packed (2, N, M) planes
+        @jax.jit
+        def kernel_chain(w_, binv_, u_, d, n):
+            base = pallas_base_cols(w_, binv_, u_)
+            return lax.fori_loop(0, n, lambda k, a: a + 1e-12 * base(a), d)
+
+        d0 = jnp.zeros((2, N, N + 1), jnp.float32) + 1e-3
+        kernel_chain(w, binv, u, d0, 1).block_until_ready()
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            kernel_chain(w, binv, u, d0, reps).block_until_ready()
+            ts.append((time.time() - t0) / reps)
+        point["kernel_only_ms"] = round(float(np.median(ts)) * 1e3, 3)
+
+        # --- poisson cores with the production refine='m0' (complex state
+        # in, complex out, chained on device like bench.py's sweep)
+        for name, lay in (("complex", "shear_pallas"),
+                          ("interleaved", "shear_pallas_il")):
+            @jax.jit
+            def poisson_chain(w_, binv_, u_, op_, Wri, n, lay=lay):
+                W0 = lax.complex(Wri[0], Wri[1])
+
+                def body(k, acc):
+                    P = _poisson_core(acc, w_, binv_, u_, layout=lay,
+                                      refine="m0", op=op_)
+                    return acc + 1e-12 * P
+
+                out = lax.fori_loop(0, n, body, W0)
+                return jnp.stack([out.real, out.imag])
+
+            poisson_chain(w, binv, u, op, Wp, 1).block_until_ready()
+            ts = []
+            for _ in range(5):
+                t0 = time.time()
+                poisson_chain(w, binv, u, op, Wp, reps).block_until_ready()
+                ts.append((time.time() - t0) / reps)
+            point[f"poisson_{name}_ms"] = round(float(np.median(ts)) * 1e3, 3)
 
         # --- full production step
         dt = 0.25 * hbar(N)
         sreps = max(1, reps // 4)
-        for name, env in (("complex", "0"), ("interleaved", "1")):
-            os.environ["QUFLOW_SHEAR_INTERLEAVE"] = env
+        for name, lay in (("complex", "shear_pallas"),
+                          ("interleaved", "shear_pallas_il")):
             sfn = build_step_fn(
                 N, dt, steps=sreps, maxit=args.maxit, dtype=np.complex64,
                 compsum=True, planes_io=True, refine="m0",
-                layout="shear_pallas",
+                layout=lay,
             )
             z = jnp.zeros_like(Wp)
             st = (Wp, z, z)
