@@ -103,17 +103,18 @@ def main():
             if batch is None:
                 name = f"N{N}_{layout}_unbatched"
                 scal = None
+                base = agg  # aggregate scaling is measured vs ONE
+                # unbatched trajectory (always the first row), not vs the
+                # first batch in the --batches list
             else:
                 name = f"N{N}_{layout}_batch{batch}"
-                if base is None:
-                    base = agg
                 scal = agg / base
             print(f"{layout:<14}{nb:>6}{agg:>14.1f}{per:>10.1f}"
                   f"{'' if scal is None else f'{scal:8.2f}x':>9}")
             results["rows"][name] = {
                 "aggregate_steps_per_sec": round(agg, 1),
                 "per_trajectory_steps_per_sec": round(per, 1),
-                "scaling_vs_batch1": None if scal is None else round(scal, 2),
+                "aggregate_vs_unbatched": None if scal is None else round(scal, 2),
                 "run_spread_pct": round(
                     100 * (max(times) - min(times)) / med, 1),
             }
