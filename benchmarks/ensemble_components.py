@@ -65,6 +65,19 @@ def main():
     def mm(a, b):
         return jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
 
+    def mm_default(a, b):
+        return jnp.matmul(a, b, precision=lax.Precision.DEFAULT)
+
+    def mm_kara(a, b):
+        # the stepper's 'highest_karatsuba' 3-mult complex GEMM
+        ar, ai = a.real, a.imag
+        br, bi = b.real, b.imag
+        p = lax.Precision.HIGHEST
+        t1 = jnp.matmul(ar, br, precision=p)
+        t2 = jnp.matmul(ai, bi, precision=p)
+        t3 = jnp.matmul(ar + ai, br + bi, precision=p)
+        return lax.complex(t1 - t2, t3 - t1 - t2)
+
     def make_component(kind):
         """Scan of `steps` iterations of one production component; the
         carry threads a full-array dependency so iterations serialize the
@@ -75,13 +88,17 @@ def main():
                               refine="m0", op=op)
             return P, None  # next iteration solves the previous P
 
-        def gemm_body(Wc, _):
-            PW = mm(Wc, Wc * vareps)
-            PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
-            dW = mm(PW, Wc) + PWc
-            return dW, None
+        def gemm_pair(mmfn):
+            def body(Wc, _):
+                PW = mmfn(Wc, Wc * vareps)
+                PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
+                dW = mmfn(PW, Wc) + PWc
+                return dW, None
+            return body
 
-        body = {"poisson": poisson_body, "gemm": gemm_body}[kind]
+        body = {"poisson": poisson_body, "gemm": gemm_pair(mm),
+                "gemm_default": gemm_pair(mm_default),
+                "gemm_kara": gemm_pair(mm_kara)}[kind]
 
         @jax.jit
         def run(Wri):
@@ -108,7 +125,7 @@ def main():
         Ws = np.stack([skewh() for _ in range(batch)])
         Wp = jnp.asarray(to_planes(Ws).astype(np.float32))
         row = {"batch": batch}
-        for kind in ("poisson", "gemm"):
+        for kind in ("poisson", "gemm", "gemm_default", "gemm_kara"):
             run = make_component(kind)
             out = run(Wp)
             out.block_until_ready()
