@@ -104,9 +104,15 @@ def _resolve_layout(N, mesh, layout):
     'rolls', and 'pallas' (wrapped pack + monolithic kernel, redirected to
     the chunked kernel at N >= 4096) remain manual escape hatches.
     'shear_pallas_il' = shear pack on the re/im-INTERLEAVED real view +
-    the same chunked kernel: skips the complex->planes deinterleave copies
-    around the solve (the serial Thomas kernel is lane-elementwise, so
-    interleaving costs it nothing; see benchmarks/glue_fusion_device.py)."""
+    the same chunked kernel; measured a large v5e regression at N >= 4096
+    (poisson core 11.5 -> 98.4 ms, benchmarks/glue_fusion.json) - kept
+    only as an explicit escape hatch for reproducing that measurement.
+    The committed glue attribution (glue_fusion.json): at N=4096 the
+    chunked kernel itself is 2.6 ms inside an 11.5 ms poisson core, and
+    the full step is 4.96 steps/s, i.e. ~72% of the step is GEMM + fixed
+    point; at N=8192 the core is 51.5 ms on a 10.6 ms kernel and the step
+    (0.73 steps/s) is ~81% GEMM-bound - fusing ALL remaining core glue
+    into the kernel would bound the step at ~0.86 steps/s."""
     if mesh is not None:
         if layout in (None, "auto", "shear", "shear_shard", "shear_pallas",
                       "shear_pallas_il"):
@@ -193,10 +199,17 @@ def _poisson_core(W, w, binv, u, mesh=None, batched=False, pad_rows=0,
         # v5e REGRESSION (measured: N=1024 shear poisson 0.21 -> 4.35 ms,
         # N=512 step 1527 -> 175 steps/s - odd/even lane interleaving
         # defeats Mosaic's lane vectorization of the scan and the m0
-        # write-back), so it stays env-gated there; the serial Thomas
-        # kernel is purely lane-elementwise, so 'shear_pallas_il' exposes
-        # interleave+kernel as a first-class layout for large N (see
-        # benchmarks/glue_fusion_device.py).
+        # write-back), so it stays env-gated there.  'shear_pallas_il'
+        # (interleave + the serial Thomas kernel) was the round-4 candidate
+        # for killing the large-N complex<->planes glue - the kernel is
+        # lane-elementwise so interleaving was expected to cost nothing -
+        # but MEASURED it is also a large regression (N=4096 poisson core
+        # 11.5 -> 98.4 ms, step 4.96 -> 1.57 steps/s; at N=8192 the
+        # interleaved core fails to compile with a 2x-HBM copy,
+        # benchmarks/glue_fusion.json): the repeat-duplicated factor
+        # columns and the interleaved d-columns each materialize as
+        # strided relayouts AROUND the kernel.  Kept as an explicit layout
+        # for reproducing that measurement only.
         interleave = jnp.iscomplexobj(W) and (
             layout == "shear_pallas_il"
             or os.environ.get("QUFLOW_SHEAR_INTERLEAVE", "0") != "0"
