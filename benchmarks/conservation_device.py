@@ -16,6 +16,11 @@ Brouwer's law O(sqrt(n)).
 
 Run (device):  timeout 3000 python benchmarks/conservation_device.py
 Writes benchmarks/conservation_1024.json.
+
+Chunk sizing: one chunk is ONE device execution; the tunnel's worker kills
+executions that run for more than a couple of minutes ("TPU worker process
+crashed or restarted").  The dw rows at N=2048 run at ~1-3 steps/s, so use
+--chunk 100 (or less) there; the default 500 is fine for c64 rows.
 """
 
 import argparse
