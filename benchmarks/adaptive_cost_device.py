@@ -73,21 +73,27 @@ def main():
         fn = build_step_fn(N, dt, steps=steps, dtype=np.complex64,
                            compsum=True, planes_io=True, **kw)
 
-        def sync(st):
-            # block_until_ready is a no-op through this device tunnel;
-            # force completion with a scalar pull (same as bench.py)
-            return float(jnp.sum(st[0][0, 0, :8]))
+        # Through this device tunnel the ONLY reliable execution fence is a
+        # scalar returned from INSIDE the timed jitted program and pulled
+        # with float() (glue_fusion fix).  A separately dispatched sum over
+        # the outputs - this harness's original sync() - returns without
+        # waiting and recorded physically impossible numbers (1.26e6
+        # steps/s at N=1024 in the superseded artifact).
+        @jax.jit
+        def timed(a, b, c):
+            out = fn(a, b, c)
+            return jnp.abs(out[0][0, 0, :8]).sum()
 
         Wp = jnp.asarray(Wp0)
-        st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
-        # adaptive mode returns a 4th output (per-step iteration counts)
-        st = fn(*st)[:3]  # compile + warm (also warms dW for the adaptive exit)
-        sync(st)
+        # warm dW for the steady-state fixed point / adaptive exit
+        st = tuple(np.asarray(x) for x in
+                   fn(Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))[:3])
+        float(timed(*st))  # compile + warm
         best = np.inf
         for _ in range(3):
             t0 = time.time()
-            out = fn(*st)[:3]
-            sync(out)
+            v = float(timed(*st))
+            assert np.isfinite(v)
             best = min(best, time.time() - t0)
         sps = steps / best
         if base_sps is None:

@@ -83,17 +83,23 @@ def main():
         carry threads a full-array dependency so iterations serialize the
         way they do inside the real fixed point."""
 
+        def renorm(A):
+            # keep the chained carry finite in f32 (the dependency is what
+            # matters for serialization, not the magnitude)
+            s = jnp.max(jnp.abs(A))
+            return A / jnp.maximum(s, 1e-30)
+
         def poisson_body(Wc, _):
             P = _poisson_core(Wc, w, binv, u, layout=args.layout,
                               refine="m0", op=op)
-            return P, None  # next iteration solves the previous P
+            return renorm(P), None  # next iteration solves the previous P
 
         def gemm_pair(mmfn):
             def body(Wc, _):
                 PW = mmfn(Wc, Wc * vareps)
                 PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
                 dW = mmfn(PW, Wc) + PWc
-                return dW, None
+                return renorm(dW), None
             return body
 
         body = {"poisson": poisson_body, "gemm": gemm_pair(mm),
@@ -102,9 +108,12 @@ def main():
 
         @jax.jit
         def run(Wri):
+            # Returns a SCALAR: through the axon tunnel
+            # .block_until_ready() does not fence execution; the only
+            # reliable fence is a scalar pull to host (glue_fusion fix).
             Wc = lax.complex(Wri[0], Wri[1])
             Wc, _ = lax.scan(body, Wc, None, length=steps)
-            return jnp.stack([Wc.real, Wc.imag])
+            return jnp.abs(Wc[..., :8]).sum()
 
         return run
 
@@ -124,37 +133,40 @@ def main():
     for batch in [int(b) for b in args.batches.split(",")]:
         Ws = np.stack([skewh() for _ in range(batch)])
         Wp = jnp.asarray(to_planes(Ws).astype(np.float32))
+        # tunnel latency floor (scalar pull on a tiny program)
+        probe = jax.jit(lambda x: jnp.abs(x[..., :8]).sum())
+        float(probe(Wp))
+        t0 = time.time()
+        for _ in range(3):
+            float(probe(Wp))
+        lat = (time.time() - t0) / 3
+
         row = {"batch": batch}
         for kind in ("poisson", "gemm", "gemm_default", "gemm_kara"):
             run = make_component(kind)
-            out = run(Wp)
-            out.block_until_ready()
-            # tunnel latency floor
-            t0 = time.time()
-            for _ in range(3):
-                out.block_until_ready()
-                float(jnp.sum(out[0, ..., 0, :8]))
-            lat = (time.time() - t0) / 3
+            float(run(Wp))  # compile + warm
             ts = []
             for _ in range(5):
                 t0 = time.time()
-                run(Wp).block_until_ready()
+                v = float(run(Wp))
+                assert np.isfinite(v)
                 # clamp: on fast hosts the latency probe can exceed the run
                 ts.append(max(time.time() - t0 - lat, 0.0))
             row[kind + "_ms"] = round(float(np.median(ts)) / steps * 1e3, 4)
-        # full production step
+        # full production step (scalar-fenced like bench.py)
         fn = build_step_fn(N, dt, steps=steps, maxit=5, dtype=np.complex64,
                            compsum=True, planes_io=True, batched=True,
                            layout=args.layout)
+        step_scalar = jax.jit(
+            lambda a, b, c: jnp.abs(fn(a, b, c)[0][..., :8]).sum())
         st = (Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))
-        out = fn(*st)
-        out[0].block_until_ready()
+        float(step_scalar(*st))  # compile + warm
         ts = []
         for _ in range(5):
             t0 = time.time()
-            o = fn(*st)
-            o[0].block_until_ready()
-            ts.append(time.time() - t0)
+            v = float(step_scalar(*st))
+            assert np.isfinite(v)
+            ts.append(max(time.time() - t0 - lat, 0.0))
         step_ms = float(np.median(ts)) / steps * 1e3
         row["step_ms"] = round(step_ms, 4)
         row["agg_steps_per_sec"] = round(batch / (step_ms / 1e3), 1)
