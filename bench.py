@@ -371,9 +371,12 @@ def main():
         "run_spread_pct": getattr(measure_step, "last_spread_pct", None),
         "mfu": roofline(N_HEADLINE, tpu_sec, poisson_ms, PRECISION),
     }
+    # sweep FIRST, compact headline LAST: the driver keeps only the tail of
+    # stdout, so the headline must be the final line (round-4's BENCH_r04
+    # lost its own headline to the embedded-sweep ordering)
     if os.path.exists(SWEEP_PATH):
         with open(SWEEP_PATH) as f:
-            out["sweep"] = json.load(f)
+            print(json.dumps({"sweep": json.load(f)}))
     print(json.dumps(out))
 
 

@@ -85,9 +85,14 @@ def main():
             return jnp.abs(out[0][0, 0, :8]).sum()
 
         Wp = jnp.asarray(Wp0)
-        # warm dW for the steady-state fixed point / adaptive exit
-        st = tuple(np.asarray(x) for x in
-                   fn(Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))[:3])
+        # warm dW for the steady-state fixed point / adaptive exit; KEEP
+        # the warmed state on device (these jits don't donate buffers) -
+        # pulling to numpy would add a ~24 MB host->device re-upload
+        # through the high-latency tunnel to every timed call, inflating
+        # all rows by a constant and biasing fast rows' cost_vs_fixed5
+        # toward 1 (ADVICE r4)
+        st = fn(Wp, jnp.zeros_like(Wp), jnp.zeros_like(Wp))[:3]
+        jax.block_until_ready(st)
         float(timed(*st))  # compile + warm
         best = np.inf
         for _ in range(3):

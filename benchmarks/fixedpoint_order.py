@@ -73,8 +73,10 @@ def main():
 
     # ---- A. stall-floor iteration counts -------------------------------
     # tol ~ 0 => the while_loop exits when the residual stops decreasing
-    # (the f32 floor), capped at maxit=12; counts reported per step.
-    fn = build_step_fn(N, dt, steps=100, maxit=12, tol=1e-30, minit=1,
+    # (the f32 floor), capped at maxit=16; counts at the cap are censored
+    # (the true iterations-to-floor is >= the cap) and reported as such.
+    cap = 16
+    fn = build_step_fn(N, dt, steps=100, maxit=cap, tol=1e-30, minit=1,
                        dtype=np.complex64, compsum=True, planes_io=True,
                        refine="m0")
     st = (jnp.asarray(Wp0), jnp.zeros_like(Wp0), jnp.zeros_like(Wp0))
@@ -89,10 +91,14 @@ def main():
     results["stall_floor_iterations"] = {
         "mean": round(float(its.mean()), 2),
         "min": int(its.min()), "max": int(its.max()),
+        "cap": cap,
+        "censored_at_cap": int((its >= cap).sum()),
         "histogram": {str(v): int((its == v).sum())
                       for v in np.unique(its)},
         "note": "iterations until the residual inf-norm stops decreasing "
-                "(f32 floor), warm steady state, 400 steps",
+                "(f32 floor), warm steady state, 400 steps; counts at "
+                "'cap' are right-censored (mean understates the true "
+                "iterations-to-floor when censored_at_cap > 0)",
     }
     print(f"A. stall-floor iterations: mean {its.mean():.2f} "
           f"min {its.min()} max {its.max()}")
@@ -100,6 +106,12 @@ def main():
         json.dump(results, f, indent=2)
 
     # ---- B. maxit scan --------------------------------------------------
+    # one warm-up chunk + n_chunks timed chunks; steps must cover >= 2
+    # chunks or the timed loop body never runs (steps/s would be nonsense)
+    n_chunks = args.steps // args.chunk - 1
+    assert n_chunks >= 1, (
+        f"--steps {args.steps} must be >= 2 * --chunk {args.chunk} "
+        "(the first chunk is compile/warm-up and is excluded)")
     rows = results.setdefault("rows", {})
     print(f"{'maxit':>6}{'Casimir':>12}{'energy':>12}{'enstrophy':>12}"
           f"{'steps/s':>9}")
@@ -119,11 +131,11 @@ def main():
         *st, v = chunk(*st)  # compile + warm (excluded from timing)
         float(v)
         t0 = time.time()
-        for _ in range(args.steps // args.chunk - 1):
+        for _ in range(n_chunks):
             *st, v = chunk(*st)
             assert np.isfinite(float(v))
         el = time.time() - t0
-        timed_steps = args.steps - args.chunk
+        timed_steps = n_chunks * args.chunk
         Wf = from_planes(np.asarray(st[0])).astype(np.complex128)
         cd = float(np.abs(np.sort(np.linalg.eigvalsh(-1j * Wf))
                           - spec0).max())

@@ -38,7 +38,14 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["dw_matmul", "dw_matmul_planes", "dw_split", "split_params"]
+__all__ = [
+    "dw_matmul",
+    "dw_matmul_planes",
+    "dw_split",
+    "dw_split_planes",
+    "dw_matmul_planes_split",
+    "split_params",
+]
 
 
 def split_params(K, target_bits=53):
@@ -150,21 +157,36 @@ def dw_matmul(A, B, target_bits=53, out_dtype=jnp.float64):
     return _pair_products(asl, bsl, q, out_dtype)
 
 
-def dw_matmul_planes(Ap, Bp, target_bits=53, out_dtype=jnp.float64):
-    """Complex matmul on split-real planes: Ap, Bp of shape (2, ..., m, k)
-    and (2, ..., k, n) as (re, im); returns (2, ..., m, n).
+def dw_split_planes(Ap, t, q, axis):
+    """Split both planes of a split-real complex operand (2, ..., m, k):
+    returns (re_slices, im_slices).  Splitting is the f64-elementwise part
+    of the scheme, so operands appearing in several products should be
+    split ONCE and multiplied via :func:`dw_matmul_planes_split` (the MHD
+    midpoint reuses P as a right operand in three products)."""
+    return dw_split(Ap[0], t, q, axis), dw_split(Ap[1], t, q, axis)
 
-    Four real double-word products sharing the four operand splits (the
-    4-multiplication form; Karatsuba is avoided here because its
-    ``t3 - t1 - t2`` cancellation would reintroduce f64-level error on the
-    near-exact products).
-    """
-    K = Ap.shape[-1]
-    t, q = split_params(K, target_bits)
-    ar = dw_split(Ap[0], t, q, axis=-1)
-    ai = dw_split(Ap[1], t, q, axis=-1)
-    br = dw_split(Bp[0], t, q, axis=-2)
-    bi = dw_split(Bp[1], t, q, axis=-2)
+
+def dw_matmul_planes_split(Asl, Bsl, q, out_dtype=jnp.float64):
+    """Complex matmul from pre-split operands (see dw_split_planes):
+    Asl split along the contraction axis -1, Bsl along -2.
+
+    Four real double-word products (the 4-multiplication form; Karatsuba
+    is avoided because its ``t3 - t1 - t2`` cancellation would reintroduce
+    f64-level error on the near-exact products)."""
+    ar, ai = Asl
+    br, bi = Bsl
     re = _pair_products(ar, br, q, out_dtype) - _pair_products(ai, bi, q, out_dtype)
     im = _pair_products(ar, bi, q, out_dtype) + _pair_products(ai, br, q, out_dtype)
     return jnp.stack([re, im])
+
+
+def dw_matmul_planes(Ap, Bp, target_bits=53, out_dtype=jnp.float64):
+    """Complex matmul on split-real planes: Ap, Bp of shape (2, ..., m, k)
+    and (2, ..., k, n) as (re, im); returns (2, ..., m, n)."""
+    K = Ap.shape[-1]
+    t, q = split_params(K, target_bits)
+    return dw_matmul_planes_split(
+        dw_split_planes(Ap, t, q, axis=-1),
+        dw_split_planes(Bp, t, q, axis=-2),
+        q, out_dtype,
+    )

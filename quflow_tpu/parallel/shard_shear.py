@@ -47,7 +47,13 @@ __all__ = [
 ]
 
 
-def _lead(batched):
+def _lead(batched, lead=None):
+    """Spec entries for the leading (non-row) axes.  ``lead`` overrides the
+    batched default - e.g. ``(None,)`` for split-real f64 planes (2, N, N)
+    or ``(None, "dp")`` for batched planes (2, E, N, N) (the double-word
+    stepper's state layout); the shard_map bodies are rank-agnostic."""
+    if lead is not None:
+        return tuple(lead)
     return ("dp",) if batched else ()
 
 
@@ -79,15 +85,16 @@ def _unpack_local(Vl, *, s, c, N, axis):
     return jnp.reshape(seg, Vl.shape[:-2] + (c, N))
 
 
-def pack_shear_sharded(W, mesh, batched=False, tracefree=True):
+def pack_shear_sharded(W, mesh, batched=False, tracefree=True, lead=None):
     """Dense (..., N, N) -> shear rows (..., N, N+1), both sharded
-    P([dp,] rows, None).  One neighbor ppermute (+ one psum for the trace)."""
+    P([dp,] rows, None).  One neighbor ppermute (+ one psum for the trace).
+    ``lead`` overrides the leading-axes spec (see _lead)."""
     fmesh = flat_mesh_view(mesh)
     s = fmesh.shape["tp"]
     N = W.shape[-1]
     if N % s:
         raise ValueError(f"N={N} must be divisible by the shard count {s}")
-    spec = P(*_lead(batched), "tp", None)
+    spec = P(*_lead(batched, lead), "tp", None)
 
     def fn(Wl):
         D = _pack_local(Wl, s=s, c=N // s, N=N, axis="tp")
@@ -104,12 +111,12 @@ def pack_shear_sharded(W, mesh, batched=False, tracefree=True):
     return shard_map(fn, mesh=fmesh, in_specs=(spec,), out_specs=spec)(W)
 
 
-def unpack_shear_sharded(V, mesh, batched=False):
+def unpack_shear_sharded(V, mesh, batched=False, lead=None):
     """Shear rows -> dense; inverse of pack_shear_sharded."""
     fmesh = flat_mesh_view(mesh)
     s = fmesh.shape["tp"]
     N = V.shape[-2]
-    spec = P(*_lead(batched), "tp", None)
+    spec = P(*_lead(batched, lead), "tp", None)
     fn = partial(_unpack_local, s=s, c=N // s, N=N, axis="tp")
     return shard_map(fn, mesh=fmesh, in_specs=(spec,), out_specs=spec)(V)
 
@@ -164,7 +171,7 @@ def _dist_affine_scan(cf, v, axis_name, s, reverse=False):
 
 
 def solve_shear_sharded(w, binv, u, D, mesh, batched=False, m0_op=None,
-                        ham=("poisson", ())):
+                        ham=("poisson", ()), lead=None):
     """Solve the shear-layout batched tridiagonal systems with the rows
     (recurrence axis) sharded over the mesh.
 
@@ -187,7 +194,7 @@ def solve_shear_sharded(w, binv, u, D, mesh, batched=False, m0_op=None,
     s = fmesh.shape["tp"]
     N = D.shape[-2]
     c = N // s
-    spec = P(*_lead(batched), "tp", None)
+    spec = P(*_lead(batched, lead), "tp", None)
     fspec = P("tp", None)
     rd = jnp.asarray(D).real.dtype
     w = jnp.asarray(w, dtype=rd)

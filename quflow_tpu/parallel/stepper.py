@@ -1011,6 +1011,52 @@ def _conj_t_planes(Ap):
     )
 
 
+def _dw_solve_planes(Wp, w, binv, u, mesh=None, lead=None):
+    """f64 shear-layout tridiagonal solve on split-real planes (the
+    double-word steppers' operator solve; the f64 base solve is already at
+    roundoff, so no refinement anywhere in dw).
+
+    Single chip: one-pass shear pack + associative-scan Thomas.  Under a
+    mesh: the distributed shear path (parallel/shard_shear.py) with the
+    planes (and optional ensemble) axes as unsharded leading dims
+    (``lead``, e.g. (None,) or (None, 'dp'))."""
+    if mesh is not None:
+        from .shard_shear import (
+            pack_shear_sharded,
+            solve_shear_sharded,
+            unpack_shear_sharded,
+        )
+
+        fm = flat_mesh_view(mesh)
+        dense_spec = P(*lead, "tp", None)
+        Wp = lax.with_sharding_constraint(Wp, NamedSharding(fm, dense_spec))
+        d = pack_shear_sharded(Wp, mesh, lead=lead, tracefree=True)
+        x = solve_shear_sharded(w, binv, u, d, mesh, lead=lead)
+        x = subtract_col0_mean(x)
+        out = unpack_shear_sharded(x, mesh, lead=lead)
+        return lax.with_sharding_constraint(
+            out, NamedSharding(fm, dense_spec))
+    d = mat2shear(Wp, tracefree=True)          # (..., N, N+1) f64
+    x = solve_factored(_Fac(w, binv, u), d, axis=-2)
+    x = subtract_col0_mean(x)
+    return shear2mat(x)
+
+
+def _f32_mm_planes(Ap, Bp):
+    """Complex matmul on f64 planes through f32-'highest' MXU GEMMs (the
+    warm-phase matmul of the double-word steppers: early fixed-point
+    iterations only need enough accuracy to keep contracting)."""
+    a = Ap.astype(jnp.float32)
+    b = Bp.astype(jnp.float32)
+
+    def mm(x, y):
+        return jnp.matmul(x, y, precision=lax.Precision.HIGHEST)
+
+    re = mm(a[0], b[0]) - mm(a[1], b[1])
+    im = mm(a[0], b[1]) + mm(a[1], b[0])
+    return jnp.stack([re, im]).astype(jnp.float64)
+
+
 def build_dw_step_fn(
     N,
     dt,
@@ -1022,16 +1068,55 @@ def build_dw_step_fn(
     with_diagnostics=False,
     tol=None,
     minit=1,
+    mesh=None,
+    batched=False,
+    hamiltonian="poisson",
+    forcing=None,
+    strang_splitting=None,
 ):
     """Jitted multi-step isospectral-midpoint runner in double-word precision.
 
-    State I/O is split-real float64 planes (2, N, N) (f64 host<->device
+    State I/O is split-real float64 planes (2, [E,] N, N) (f64 host<->device
     transfers work on this runtime; complex128 does not exist on device, so
     the whole step is written in real-plane arithmetic).  The complex GEMMs
     run as Ozaki-split bf16 MXU passes with float64 accumulation - relative
     GEMM error ~2^-50 at the default budget vs ~2^-24*sqrt(N) for the f32
     'highest' path - and the Poisson solve, packs, and state update are
     float64 elementwise.
+
+    Composability (round-5; matching the reference's dtype-uniform
+    integrator where c128 composes with every hook and layout,
+    reference quflow/integrators/isospectral.py:338-613):
+
+    ``mesh``/``batched``: under a mesh the dense planes shard
+    P(None, [dp,] rows, None) on the flat ('dp','tp') view and the solve
+    runs the distributed shear path (parallel/shard_shear.py: neighbor
+    ppermute packs + distributed affine scan); the Ozaki GEMMs partition
+    under GSPMD like any matmul (the per-row alignment grids become
+    cross-shard max-reductions).  N must divide the tensor-shard count (no
+    scatter fallback in dw).  ``batched`` adds an ensemble axis:
+    (2, E, N, N) planes sharded over 'dp'.
+
+    ``hamiltonian``: 'poisson' (default), a named prefactorizable family
+    ``(kind, *params)`` (prefactorized in f64 into the shear layout), or a
+    traceable callable on SPLIT-REAL F64 PLANES ``Wp -> Pp`` (shape
+    (2, [E,] N, N); ``(Wp, time=t) -> Pp`` for non-autonomous).  Complex
+    callables cannot be accepted here: complex128 does not exist on TPU,
+    so a c128 trace would silently demote - planes in/planes out keeps the
+    full double-word accuracy explicit.
+
+    ``forcing``: traceable ``f(Pp, Wp)`` or ``f(Pp, Wp, time=t)`` on the
+    UNSCALED midpoint pair as f64 planes, applied with the reference's
+    weights (FW * dt/2 into dW each iteration, W += 2*FW after the loop;
+    reference isospectral.py:404-423, 509-520).
+
+    ``strang_splitting``: ``(h, Wp) -> Wp`` planes callable, or a named
+    dissipation (('heat', {'nu': ..}) / ('viscdamp', {..})) prefactorized
+    at h = dt/2 into f64 shear factors and applied for dt/2 before and
+    after each step.
+
+    When forcing or a callable hamiltonian is time-dependent the runner
+    takes a trailing ``t0`` argument (time advances by dt per step).
 
     ``dw_iters``: only the LAST dw_iters fixed-point iterations use the
     double-word GEMM; the first maxit - dw_iters run f32-'highest' (the
@@ -1044,11 +1129,9 @@ def build_dw_step_fn(
     not clean dW enough).  ``dw_iters=maxit`` gives the pure-dw schedule.
 
     ``tol``: a float switches the dw phase to a lax.while_loop with the
-    reference's converged/stalled exit (residual = ENTRYWISE max of dW
-    between iterations here, not the reference's matrix inf-norm - norm-
-    equivalent within a factor N, and the dw exit is dominated by the
-    stall-at-f64-floor rule, so the committed conservation artifacts are
-    unaffected), capped at ``maxit`` total dw iterations after the fixed
+    reference's converged/stalled exit (residual = matrix inf-norm of the
+    complex dW difference, matching the reference's scipy norm(., inf)
+    exactly), capped at ``maxit`` total dw iterations after the fixed
     f32 warm phase; per-step dw iteration counts come back as an extra
     (steps,) int32 output.  The per-step Casimir error of the scheme is
     linear in the final fixed-point residual, so driving the residual to
@@ -1064,121 +1147,200 @@ def build_dw_step_fn(
     production stepper.
     """
     from ..ops.dwgemm import dw_matmul_planes
+    from ..ops.tridiag import dot_cols
 
     dw_iters = min(dw_iters, maxit)
-    w, binv, u = _real_factors(N, np.float64, shear=True)
+    ham_kind, ham_params, ham_callable, ham_timed = _resolve_ham(hamiltonian)
+    force_timed = forcing is not None and _has_time_param(forcing)
+    timed = ham_timed or force_timed
+    lead = None
+    if mesh is not None:
+        td = _tensor_devices(mesh)
+        if N % td:
+            raise ValueError(
+                f"the dw stepper requires N divisible by the tensor-shard "
+                f"count (N={N}, shards={td}); no scatter fallback in dw")
+        lead = (None, "dp") if batched else (None,)
+    fac_tree = {}
+    if ham_callable is None:
+        w, binv, u = _real_factors(N, np.float64, shear=True,
+                                   kind=ham_kind, params=ham_params)
+        fac_tree.update(w=w, binv=binv, u=u)
+    strang_callable = None
+    s_theta_rhs = None
+    if strang_splitting is not None:
+        if callable(strang_splitting):
+            strang_callable = strang_splitting
+        else:
+            s_kind, s_params, s_theta_rhs = _resolve_strang_named(
+                strang_splitting, dt)
+            sw, sbinv, su = _real_factors(N, np.float64, shear=True,
+                                          kind=s_kind, params=s_params)
+            fac_tree.update(sw=sw, sbinv=sbinv, su=su)
+            if s_theta_rhs is not None:
+                fac_tree.update(slap=jnp.asarray(
+                    _mhd_lap_op(N, "shear", np.float64)))
     vareps = np.float64(dt / (2.0 * hbar(N)))
+    half_dt = np.float64(dt / 2.0)
+    dt_r = np.float64(dt)
 
-    def _poisson_planes(Wp, w_, binv_, u_):
-        d = mat2shear(Wp, tracefree=True)          # (2, N, N+1) f64
-        x = solve_factored(_Fac(w_, binv_, u_), d, axis=-2)
-        x = subtract_col0_mean(x)
-        return shear2mat(x)
+    def _solve_planes(Wp, w_, binv_, u_):
+        return _dw_solve_planes(Wp, w_, binv_, u_, mesh, lead)
 
-    def _f32_mm_planes(Ap, Bp):
-        a = Ap.astype(jnp.float32)
-        b = Bp.astype(jnp.float32)
+    def _mk(fac):
+        def apply_ham(Whp, thalf):
+            if ham_callable is not None:
+                if ham_timed:
+                    return ham_callable(Whp, time=thalf)
+                return ham_callable(Whp)
+            return _solve_planes(Whp, fac["w"], fac["binv"], fac["u"])
 
-        def mm(x, y):
-            return jnp.matmul(x, y, precision=lax.Precision.HIGHEST)
+        if strang_callable is not None:
+            def strang_half(Wp):
+                return strang_callable(half_dt, Wp)
+        elif "sw" in fac:
+            def strang_half(Wp):
+                rhs = Wp
+                if s_theta_rhs is not None:
+                    cW, cL = s_theta_rhs
+                    # shear-layout Laplacian apply on planes (dtype- and
+                    # rank-agnostic; under a mesh this small tridiagonal
+                    # apply compiles through GSPMD - theta != 1 is a
+                    # non-default escape hatch)
+                    lapW = shear2mat(dot_cols(
+                        fac["slap"], mat2shear(Wp, tracefree=False)))
+                    rhs = np.float64(cW) * Wp + np.float64(cL) * lapW
+                return _solve_planes(rhs, fac["sw"], fac["sbinv"], fac["su"])
+        else:
+            strang_half = None
 
-        re = mm(a[0], b[0]) - mm(a[1], b[1])
-        im = mm(a[0], b[1]) + mm(a[1], b[0])
-        return jnp.stack([re, im]).astype(jnp.float64)
-
-    def _mk(w_, binv_, u_):
-        def _iterate(Wp, dWp, mmfn):
+        def _iterate(Wp, dWp, FW, thalf, mmfn):
             Whp = Wp + dWp
-            Php = _poisson_planes(Whp, w_, binv_, u_) * vareps
+            Php = apply_ham(Whp, thalf) * vareps
             PWp = mmfn(Php, Whp)
             PWc = PWp - _conj_t_planes(PWp)
             dW_new = mmfn(PWp, Php) + PWc
-            return dW_new, PWc
+            if forcing is not None:
+                # reference semantics: forcing on the UNSCALED midpoint
+                # pair, weighted dt/2 (isospectral.py:509-520)
+                if force_timed:
+                    FW = forcing(Php / vareps, Whp, time=thalf) * half_dt
+                else:
+                    FW = forcing(Php / vareps, Whp) * half_dt
+                dW_new = dW_new + FW
+            return dW_new, PWc, FW
 
         def _dw_mm(a, b):
             return dw_matmul_planes(a, b, target_bits=target_bits)
 
-        def fixed_point(Wp, dWp):
-            st = (dWp, jnp.zeros_like(Wp))
+        def _zero_fw(Wp):
+            return (jnp.zeros_like(Wp) if forcing is not None
+                    else jnp.zeros((), Wp.dtype))
+
+        def fixed_point(Wp, dWp, thalf):
+            st = (dWp, jnp.zeros_like(Wp), _zero_fw(Wp))
 
             def it_f32(k, st):
-                return _iterate(Wp, st[0], _f32_mm_planes)
+                return _iterate(Wp, st[0], st[2], thalf, _f32_mm_planes)
 
             def it_dw(k, st):
-                return _iterate(Wp, st[0], _dw_mm)
+                return _iterate(Wp, st[0], st[2], thalf, _dw_mm)
 
             if maxit > dw_iters:
                 st = lax.fori_loop(0, maxit - dw_iters, it_f32, st)
-            dWp, PWc = lax.fori_loop(0, dw_iters, it_dw, st)
-            return dWp, PWc, jnp.asarray(maxit, jnp.int32)
+            dWp, PWc, FW = lax.fori_loop(0, dw_iters, it_dw, st)
+            return dWp, PWc, FW, jnp.asarray(maxit, jnp.int32)
 
-        def fixed_point_adaptive(Wp, dWp):
+        def fixed_point_adaptive(Wp, dWp, thalf):
             """f32 warm phase (maxit - dw_iters fixed iterations, dw_iters
             reinterpreted as the warm-phase complement), then dw iterations
             under a while_loop until the residual converges to ``tol`` or
             stalls at the f64 floor, capped at ``maxit`` dw iterations."""
-            st = (dWp, jnp.zeros_like(Wp))
+            st = (dWp, jnp.zeros_like(Wp), _zero_fw(Wp))
             if maxit > dw_iters:
                 def it_f32(k, st):
-                    return _iterate(Wp, st[0], _f32_mm_planes)
+                    return _iterate(Wp, st[0], st[2], thalf, _f32_mm_planes)
 
                 st = lax.fori_loop(0, maxit - dw_iters, it_f32, st)
-            dWp, PWc = st
+            dWp, PWc, FW = st
             tol_j = jnp.asarray(tol, dtype=jnp.float64)
             inf = jnp.asarray(np.inf, dtype=jnp.float64)
 
             def cond(s):
-                i, _dW, _PWc, rn, rn_old = s
+                i, _dW, _PWc, _FW, rn, rn_old = s
                 done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
                 return (i < maxit) & ~done
 
             def body(s):
-                i, dW, _PWc, rn, _rn_old = s
-                dW_new, PWc = _iterate(Wp, dW, _dw_mm)
-                rn_new = jnp.max(jnp.abs(dW_new - dW))
-                return (i + 1, dW_new, PWc, rn_new, rn)
+                i, dW, _PWc, FW, rn, _rn_old = s
+                dW_new, PWc, FW = _iterate(Wp, dW, FW, thalf, _dw_mm)
+                # matrix inf-norm (max abs row sum) of the complex
+                # difference, matching the reference's scipy norm(., inf)
+                # residual (isospectral.py:522-536) and the f32 path's
+                # fixed_point_adaptive exactly; on split planes the complex
+                # modulus is hypot(re, im); under a mesh the max is a
+                # global cross-shard reduction inserted by GSPMD
+                diff = dW_new - dW
+                rn_new = jnp.max(jnp.sum(
+                    jnp.sqrt(diff[0] ** 2 + diff[1] ** 2), axis=-1))
+                return (i + 1, dW_new, PWc, FW, rn_new, rn)
 
-            s0 = (jnp.asarray(0, jnp.int32), dWp, PWc, inf, inf)
-            iters, dWp, PWc, _, _ = lax.while_loop(cond, body, s0)
-            return dWp, PWc, iters
+            s0 = (jnp.asarray(0, jnp.int32), dWp, PWc, FW, inf, inf)
+            iters, dWp, PWc, FW, _, _ = lax.while_loop(cond, body, s0)
+            return dWp, PWc, FW, iters
 
         def step(carry, _):
-            Wp, dWp, cp = carry
+            Wp, dWp, cp, t = carry
+            if strang_half is not None:
+                Wp = strang_half(Wp)
+            thalf = t + half_dt
             if tol is not None:
-                dWp, PWc, iters = fixed_point_adaptive(Wp, dWp)
+                dWp, PWc, FW, iters = fixed_point_adaptive(Wp, dWp, thalf)
             else:
-                dWp, PWc, iters = fixed_point(Wp, dWp)
+                dWp, PWc, FW, iters = fixed_point(Wp, dWp, thalf)
             upd = 2.0 * PWc
             if compsum:
                 y = upd - cp
-                t = Wp + y
-                cp = (t - Wp) - y
-                Wp = t
+                tW = Wp + y
+                cp = (tW - Wp) - y
+                Wp = tW
             else:
                 Wp = Wp + upd
-            return (Wp, dWp, cp), (iters if tol is not None else None)
+            if forcing is not None:
+                # plain add outside the Kahan pair (reference parity)
+                Wp = Wp + 2.0 * FW
+            t = t + dt_r
+            if strang_half is not None:
+                Wp = strang_half(Wp)
+            return (Wp, dWp, cp, t), (iters if tol is not None else None)
 
-        def diagnostics(Wp):
-            Pp = _poisson_planes(Wp, w_, binv_, u_)
+        def diagnostics(Wp, t):
+            Pp = apply_ham(Wp, t)
             # Re<W, P> and Re<W, W> on planes: Re(W conj(P)) = WrPr + WiPi
-            inner_WP = jnp.sum(Wp[0] * Pp[0] + Wp[1] * Pp[1]) / N
-            inner_WW = jnp.sum(Wp[0] ** 2 + Wp[1] ** 2) / N
-            return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0])
+            inner_WP = jnp.sum(Wp[0] * Pp[0] + Wp[1] * Pp[1],
+                               axis=(-2, -1)) / N
+            inner_WW = jnp.sum(Wp[0] ** 2 + Wp[1] ** 2, axis=(-2, -1)) / N
+            return jnp.stack([-inner_WP / 2.0, inner_WW / 2.0], axis=-1)
 
         return step, diagnostics
 
     @jax.jit
-    def run(w_, binv_, u_, Wp, dWp, cp):
-        step, diagnostics = _mk(w_, binv_, u_)
-        (Wp, dWp, cp), iters = lax.scan(step, (Wp, dWp, cp), None, length=steps)
+    def run(fac, Wp, dWp, cp, t0):
+        step, diagnostics = _mk(fac)
+        (Wp, dWp, cp, t), iters = lax.scan(
+            step, (Wp, dWp, cp, t0), None, length=steps)
         out = (Wp, dWp, cp)
         if tol is not None:
             out = out + (iters,)
         if with_diagnostics:
-            out = out + (diagnostics(Wp),)
+            out = out + (diagnostics(Wp, t),)
         return out
 
-    return lambda Wp, dWp, cp: run(w, binv, u, Wp, dWp, cp)
+    if timed:
+        return lambda *args: run(
+            fac_tree, *args[:3], jnp.asarray(args[3], jnp.float64))
+    t0_fixed = jnp.asarray(0.0, jnp.float64)
+    return lambda Wp, dWp, cp: run(fac_tree, Wp, dWp, cp, t0_fixed)
 
 
 def build_planes_step_fn(
@@ -1686,3 +1848,285 @@ def build_mhd_step_fn(
             fac_tree, *args[:3], jnp.asarray(args[3], rdtype))
     t0_fixed = jnp.asarray(0.0, rdtype)
     return lambda a, b, c: runner(fac_tree, a, b, c, t0_fixed)
+
+
+def build_dw_mhd_step_fn(
+    N,
+    dt,
+    steps=1,
+    maxit=5,
+    dw_iters=2,
+    compsum=True,
+    target_bits=50,
+    tol=None,
+    minit=1,
+    mesh=None,
+    batched=False,
+    hamiltonian="poisson",
+    forcing=None,
+    strang_splitting=None,
+):
+    """Jitted multi-step magnetic-midpoint runner in double-word precision.
+
+    The TPU-native equivalent of the reference's complex128 magmp
+    (reference quflow/integrators/mhd.py:235-456), whose machine-precision
+    Theta-Casimir / cross-helicity conservation rests on c128 BLAS
+    (reference README.md:73-76).  TPU v5e has no c128, so the six complex
+    commutator GEMMs per iteration (P@W, P@Theta, B@Theta and their
+    products with P) run as Ozaki-split bf16 MXU passes with float64
+    accumulation (ops/dwgemm.py; operand splits are shared - P's
+    right-operand split feeds three products), and the stream solve,
+    Laplacian apply, packs, and state update are float64 elementwise.
+
+    State I/O: split-real float64 planes (2, [E,] 2, N, N) =
+    (re/im, [ensemble,] component W/Theta, N, N); returns
+    ``fn(Sp, dSp, cp) -> (Sp, dSp, cp[, iters])`` with the usual
+    warm-start/Kahan threading.
+
+    Schedule: the first ``maxit - dw_iters`` fixed-point iterations run
+    f32-'highest' GEMMs, the last ``dw_iters`` double-word (the fixed point
+    contracts regardless of per-iteration GEMM precision).  ``tol`` switches
+    the dw phase to the reference's converged/stalled while_loop exit
+    (matrix inf-norm residual over the full two-component dS, reference
+    mhd.py:70), capped at ``maxit`` dw iterations, and adds a per-step
+    iteration-count output - drive the residual to the f64 stall floor for
+    the conservation gate.
+
+    Hooks mirror :func:`build_dw_step_fn` (planes forms):
+    ``hamiltonian`` - named prefactorizable family for the stream solve
+    (the magnetic component stays B = Delta Theta); ``forcing`` -
+    ``f(Pp, Sp[, time])`` on the unscaled midpoint pair (full-state planes,
+    reference mhd.py:62-67 weights); ``strang_splitting`` - ``(h, Sp) -> Sp``
+    planes callable or a named dissipation applied per component (equal
+    viscosity/resistivity in the named form).  ``mesh``/``batched`` shard
+    the component solves on the distributed shear path and the GEMMs via
+    GSPMD, like build_dw_step_fn.
+    """
+    from ..ops.dwgemm import (
+        dw_matmul_planes_split,
+        dw_split_planes,
+        split_params,
+    )
+    from ..ops.tridiag import dot_cols
+
+    dw_iters = min(dw_iters, maxit)
+    ham_kind, ham_params, ham_callable, _ = _resolve_ham(hamiltonian)
+    if ham_callable is not None:
+        raise NotImplementedError(
+            "build_dw_mhd_step_fn supports named Hamiltonian families only "
+            "(the MHD Hamiltonian returns a (P, B) pair); use "
+            "integrators.magmp for arbitrary callables"
+        )
+    force_timed = forcing is not None and _has_time_param(forcing)
+    timed = force_timed
+    lead = None
+    if mesh is not None:
+        td = _tensor_devices(mesh)
+        if N % td:
+            raise ValueError(
+                f"the dw MHD stepper requires N divisible by the tensor-"
+                f"shard count (N={N}, shards={td})")
+        lead = (None, "dp") if batched else (None,)
+    w, binv, u = _real_factors(N, np.float64, shear=True,
+                               kind=ham_kind, params=ham_params)
+    lap_cols = jnp.asarray(_mhd_lap_op(N, "shear", np.float64))
+    fac_tree = {"w": w, "binv": binv, "u": u, "lap": lap_cols}
+    strang_callable = None
+    s_theta_rhs = None
+    if strang_splitting is not None:
+        if callable(strang_splitting):
+            strang_callable = strang_splitting
+        else:
+            s_kind, s_params, s_theta_rhs = _resolve_strang_named(
+                strang_splitting, dt)
+            sw, sbinv, su = _real_factors(N, np.float64, shear=True,
+                                          kind=s_kind, params=s_params)
+            fac_tree.update(sw=sw, sbinv=sbinv, su=su)
+    vareps = np.float64(dt / (2.0 * hbar(N)))
+    half_dt = np.float64(dt / 2.0)
+    dt_r = np.float64(dt)
+    t_bits, q_slices = split_params(N, target_bits)
+
+    def _lap_planes(Tp, lap):
+        # shear-layout Laplacian apply on planes (rank-agnostic); under a
+        # mesh the pad+reshape pack compiles through GSPMD - the apply is
+        # O(N^2) next to the O(N^3) GEMMs
+        return shear2mat(dot_cols(lap, mat2shear(Tp, tracefree=False)))
+
+    def _mm6_f32(Php, Bhp, Whp, Thp):
+        PW = _f32_mm_planes(Php, Whp)
+        PT = _f32_mm_planes(Php, Thp)
+        BT = _f32_mm_planes(Bhp, Thp)
+        return (PW, PT, BT,
+                _f32_mm_planes(PW, Php),
+                _f32_mm_planes(PT, Php),
+                _f32_mm_planes(BT, Php))
+
+    def _mm6_dw(Php, Bhp, Whp, Thp):
+        # share operand splits: the split (f64 elementwise) is the non-MXU
+        # cost of the scheme; P appears once as a left operand (2 products)
+        # and once as a right operand (3 products)
+        P_l = dw_split_planes(Php, t_bits, q_slices, axis=-1)
+        P_r = dw_split_planes(Php, t_bits, q_slices, axis=-2)
+        W_r = dw_split_planes(Whp, t_bits, q_slices, axis=-2)
+        T_r = dw_split_planes(Thp, t_bits, q_slices, axis=-2)
+        B_l = dw_split_planes(Bhp, t_bits, q_slices, axis=-1)
+        PW = dw_matmul_planes_split(P_l, W_r, q_slices)
+        PT = dw_matmul_planes_split(P_l, T_r, q_slices)
+        BT = dw_matmul_planes_split(B_l, T_r, q_slices)
+        PWP = dw_matmul_planes_split(
+            dw_split_planes(PW, t_bits, q_slices, axis=-1), P_r, q_slices)
+        PTP = dw_matmul_planes_split(
+            dw_split_planes(PT, t_bits, q_slices, axis=-1), P_r, q_slices)
+        BTP = dw_matmul_planes_split(
+            dw_split_planes(BT, t_bits, q_slices, axis=-1), P_r, q_slices)
+        return PW, PT, BT, PWP, PTP, BTP
+
+    def _mk(fac):
+        def _solve(Wp):
+            return _dw_solve_planes(Wp, fac["w"], fac["binv"], fac["u"],
+                                    mesh, lead)
+
+        if strang_callable is not None:
+            def strang_half(Sp):
+                return strang_callable(half_dt, Sp)
+        elif "sw" in fac:
+            def strang_solve(Mp):
+                rhs = Mp
+                if s_theta_rhs is not None:
+                    cM, cL = s_theta_rhs
+                    lapM = _lap_planes(Mp, fac["lap"])
+                    rhs = np.float64(cM) * Mp + np.float64(cL) * lapM
+                return _dw_solve_planes(rhs, fac["sw"], fac["sbinv"],
+                                        fac["su"], mesh, lead)
+
+            def strang_half(Sp):
+                Wn = strang_solve(Sp[..., 0, :, :])
+                Tn = strang_solve(Sp[..., 1, :, :])
+                return jnp.stack([Wn, Tn], axis=-3)
+        else:
+            strang_half = None
+
+        def _iterate(Sp, dSp, FW, thalf, mm6):
+            Shp = Sp + dSp
+            Whp = Shp[..., 0, :, :]
+            Thp = Shp[..., 1, :, :]
+            Php = _solve(Whp) * vareps
+            Bhp = _lap_planes(Thp, fac["lap"]) * vareps
+            PW, PT, BT, PWP, PTP, BTP = mm6(Php, Bhp, Whp, Thp)
+            PWc = PW - _conj_t_planes(PW)
+            PTc = PT - _conj_t_planes(PT)
+            BTc = BT - _conj_t_planes(BT)
+            # reference magmp update terms (mhd.py:54-61): the W component
+            # gets (PW)P + PWc + (BT)P - ((BT)P)^dag + BTc; Theta gets
+            # (PT)P + PTc
+            dW_new = PWP + PWc + BTP - _conj_t_planes(BTP) + BTc
+            dT_new = PTP + PTc
+            dS_new = jnp.stack([dW_new, dT_new], axis=-3)
+            if forcing is not None:
+                if force_timed:
+                    FW = forcing(Php / vareps, Shp, time=thalf) * half_dt
+                else:
+                    FW = forcing(Php / vareps, Shp) * half_dt
+                dS_new = dS_new + FW
+            return dS_new, PWc, PTc, BTc, FW
+
+        def _zero_fw(Sp):
+            return (jnp.zeros_like(Sp) if forcing is not None
+                    else jnp.zeros((), Sp.dtype))
+
+        def fixed_point(Sp, dSp, thalf):
+            zc = jnp.zeros_like(Sp[..., 0, :, :])
+            st = (dSp, zc, zc, zc, _zero_fw(Sp))
+
+            def it_f32(k, st):
+                return _iterate(Sp, st[0], st[4], thalf, _mm6_f32)
+
+            def it_dw(k, st):
+                return _iterate(Sp, st[0], st[4], thalf, _mm6_dw)
+
+            if maxit > dw_iters:
+                st = lax.fori_loop(0, maxit - dw_iters, it_f32, st)
+            dSp, PWc, PTc, BTc, FW = lax.fori_loop(0, dw_iters, it_dw, st)
+            return dSp, PWc, PTc, BTc, FW, jnp.asarray(maxit, jnp.int32)
+
+        def fixed_point_adaptive(Sp, dSp, thalf):
+            zc = jnp.zeros_like(Sp[..., 0, :, :])
+            st = (dSp, zc, zc, zc, _zero_fw(Sp))
+            if maxit > dw_iters:
+                def it_f32(k, st):
+                    return _iterate(Sp, st[0], st[4], thalf, _mm6_f32)
+
+                st = lax.fori_loop(0, maxit - dw_iters, it_f32, st)
+            dSp, PWc, PTc, BTc, FW = st
+            tol_j = jnp.asarray(tol, dtype=jnp.float64)
+            inf = jnp.asarray(np.inf, dtype=jnp.float64)
+
+            def cond(s):
+                i = s[0]
+                rn, rn_old = s[6], s[7]
+                done = (i >= minit) & ((rn <= tol_j) | (rn >= rn_old))
+                return (i < maxit) & ~done
+
+            def body(s):
+                i, dS, _PWc, _PTc, _BTc, FW = s[:6]
+                rn = s[6]
+                dS_new, PWc, PTc, BTc, FW = _iterate(
+                    Sp, dS, FW, thalf, _mm6_dw)
+                # matrix inf-norm over both components of the complex
+                # difference (reference magmp residual, mhd.py:70); on
+                # split planes the complex modulus is hypot(re, im)
+                diff = dS_new - dS
+                rn_new = jnp.max(jnp.sum(
+                    jnp.sqrt(diff[0] ** 2 + diff[1] ** 2), axis=-1))
+                return (i + 1, dS_new, PWc, PTc, BTc, FW, rn_new, rn)
+
+            s0 = (jnp.asarray(0, jnp.int32), dSp, PWc, PTc, BTc, FW,
+                  inf, inf)
+            out = lax.while_loop(cond, body, s0)
+            iters = out[0]
+            dSp, PWc, PTc, BTc, FW = out[1:6]
+            return dSp, PWc, PTc, BTc, FW, iters
+
+        def step(carry, _):
+            Sp, dSp, cp, t = carry
+            if strang_half is not None:
+                Sp = strang_half(Sp)
+            thalf = t + half_dt
+            if tol is not None:
+                dSp, PWc, PTc, BTc, FW, iters = fixed_point_adaptive(
+                    Sp, dSp, thalf)
+            else:
+                dSp, PWc, PTc, BTc, FW, iters = fixed_point(Sp, dSp, thalf)
+            upd = jnp.stack([2.0 * (PWc + BTc), 2.0 * PTc], axis=-3)
+            if compsum:
+                y = upd - cp
+                tS = Sp + y
+                cp = (tS - Sp) - y
+                Sp = tS
+            else:
+                Sp = Sp + upd
+            if forcing is not None:
+                Sp = Sp + 2.0 * FW
+            t = t + dt_r
+            if strang_half is not None:
+                Sp = strang_half(Sp)
+            return (Sp, dSp, cp, t), (iters if tol is not None else None)
+
+        return step
+
+    @jax.jit
+    def run(fac, Sp, dSp, cp, t0):
+        step = _mk(fac)
+        (Sp, dSp, cp, _t), iters = lax.scan(
+            step, (Sp, dSp, cp, t0), None, length=steps)
+        out = (Sp, dSp, cp)
+        if tol is not None:
+            out = out + (iters,)
+        return out
+
+    if timed:
+        return lambda *args: run(
+            fac_tree, *args[:3], jnp.asarray(args[3], jnp.float64))
+    t0_fixed = jnp.asarray(0.0, jnp.float64)
+    return lambda Sp, dSp, cp: run(fac_tree, Sp, dSp, cp, t0_fixed)
