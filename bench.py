@@ -69,11 +69,14 @@ def _flops_per_step(N, maxit, precision):
 
 
 def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXIT,
-                 refine=0):
+                 refine=0, warm_precision=None, warm_iters=None):
     """Sync-amortized steps/s of the production stepper on the default
     backend.  Returns (sec_per_step, poisson_core_ms).  ``refine`` matches
     build_step_fn's option (production f32 default is 'm0'; see
-    benchmarks/conservation_1024.json)."""
+    benchmarks/conservation_1024.json).  ``warm_precision``/``warm_iters``
+    mirror build_step_fn's mixed-precision fixed-point schedule (first
+    warm_iters iterations at warm_precision, rest at precision; accuracy
+    evidence in benchmarks/mixed_precision.json)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -93,24 +96,31 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
         shear=(layout in ("shear", "shear_pallas")), with_op=True,
     )
     vareps = np.float32(dt / (2.0 * hbar(N)))
-    prec = dict(
-        highest=lax.Precision.HIGHEST,
-        high=lax.Precision.HIGH,
-        default=lax.Precision.DEFAULT,
-    )[precision.replace("_karatsuba", "")]
-    karatsuba = precision.endswith("_karatsuba")
 
-    if karatsuba:
-        def mm(a, b):
-            ar, ai = a.real, a.imag
-            br, bi = b.real, b.imag
-            t1 = jnp.matmul(ar, br, precision=prec)
-            t2 = jnp.matmul(ai, bi, precision=prec)
-            t3 = jnp.matmul(ar + ai, br + bi, precision=prec)
-            return lax.complex(t1 - t2, t3 - t1 - t2)
-    else:
-        def mm(a, b):
-            return jnp.matmul(a, b, precision=prec)
+    def _mk_mm(spec):
+        p = dict(
+            highest=lax.Precision.HIGHEST,
+            high=lax.Precision.HIGH,
+            default=lax.Precision.DEFAULT,
+        )[spec.replace("_karatsuba", "")]
+        if spec.endswith("_karatsuba"):
+            def mm(a, b):
+                ar, ai = a.real, a.imag
+                br, bi = b.real, b.imag
+                t1 = jnp.matmul(ar, br, precision=p)
+                t2 = jnp.matmul(ai, bi, precision=p)
+                t3 = jnp.matmul(ar + ai, br + bi, precision=p)
+                return lax.complex(t1 - t2, t3 - t1 - t2)
+        else:
+            def mm(a, b):
+                return jnp.matmul(a, b, precision=p)
+        return mm
+
+    mm = _mk_mm(precision)
+    if warm_precision is not None and warm_iters is None:
+        warm_iters = max(maxit - 2, 0)
+    warm_iters = 0 if warm_precision is None else min(warm_iters, maxit)
+    mm_warm = _mk_mm(warm_precision) if warm_iters else None
 
     # factors as jit ARGUMENTS (not closures): closed-over arrays inline
     # as HLO literals and oversized programs break tunneled remote-compile
@@ -121,16 +131,21 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
         def step(carry, _):
             Wc, dW, csum = carry
 
-            def it(k, st):
-                dW, _ = st
-                Wh = Wc + dW
-                Ph = _poisson_core(Wh, w_, binv_, u_, layout=layout,
-                                   refine=refine, op=op_) * vareps
-                PW = mm(Ph, Wh)
-                PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
-                return (mm(PW, Ph) + PWc, PWc)
+            def _it(mmfn):
+                def it(k, st):
+                    dW, _ = st
+                    Wh = Wc + dW
+                    Ph = _poisson_core(Wh, w_, binv_, u_, layout=layout,
+                                       refine=refine, op=op_) * vareps
+                    PW = mmfn(Ph, Wh)
+                    PWc = PW - jnp.conj(jnp.swapaxes(PW, -1, -2))
+                    return (mmfn(PW, Ph) + PWc, PWc)
+                return it
 
-            dW, PWc = lax.fori_loop(0, maxit, it, (dW, jnp.zeros_like(Wc)))
+            st = (dW, jnp.zeros_like(Wc))
+            if warm_iters:
+                st = lax.fori_loop(0, warm_iters, _it(mm_warm), st)
+            dW, PWc = lax.fori_loop(0, maxit - warm_iters, _it(mm), st)
             upd = 2.0 * PWc
             y = upd - csum
             t = Wc + y
@@ -237,22 +252,28 @@ def run_sweep(only=None):
 
     results["device"] = jax.devices()[0].device_kind
     cases = [
-        (512, "highest", 200, None),
-        (1024, "highest", 100, None),
-        (2048, "highest", 30, None),
-        (4096, "highest_karatsuba", 10, None),
+        (512, "highest", 200, None, None),
+        (1024, "highest", 100, None, None),
+        (2048, "highest", 30, None, None),
+        (4096, "highest_karatsuba", 10, None, None),
         # karatsuba is the wall-clock winner at 4096 but counts fewer MXU
         # passes (4.5 vs 6), which deflates the utilization metric; the
         # 'highest' row shows the same hardware at 6-pass accounting.
         # GEMM-only at 4096 measures 0.88 MXU utilization either way; the
         # Thomas solve kernel alone runs at 0.71 of HBM peak (1.62 ms) -
         # the poisson-core number includes complex<->planes glue.
-        (4096, "highest", 10, ("shear_pallas",)),
+        (4096, "highest", 10, ("shear_pallas",), None),
         # single chip; unlocked by factor-argument programs (the serialized
         # compile request is ~0.05 MB vs ~8 GB of closed-over HLO literals)
-        (8192, "highest_karatsuba", 5, ("shear_pallas",)),
+        (8192, "highest_karatsuba", 5, ("shear_pallas",), None),
+        # mixed-precision fixed-point schedule at the GEMM-bound sizes
+        # (gemm_fraction_of_step 0.75-0.82 there): warm 3-pass iterations +
+        # full-precision finish (accuracy: benchmarks/mixed_precision.json)
+        (2048, "highest", 30, ("shear",), "high"),
+        (4096, "highest_karatsuba", 10, ("shear_pallas",), "high_karatsuba"),
+        (8192, "highest_karatsuba", 5, ("shear_pallas",), "high_karatsuba"),
     ]
-    for N, prec, steps, only_layouts in cases:
+    for N, prec, steps, only_layouts, warm in cases:
         layouts = ("wrapped", "shear", "pallas")
         if N >= 4096:
             # explicit 'pallas' redirects to the chunked kernel at this size
@@ -266,6 +287,8 @@ def run_sweep(only=None):
             key = f"N{N}_{layout}"
             if only_layouts:  # precision-variant rows get a suffixed key
                 key = f"N{N}_{layout}_{prec}"
+            if warm:
+                key = f"N{N}_{layout}_warm"
             if only and only not in key:
                 continue
             try:
@@ -276,13 +299,15 @@ def run_sweep(only=None):
                 # poisson at N=1024)
                 sec, pms = measure_step(
                     N, precision=prec, layout=layout, steps=steps,
-                    refine="m0" if layout.startswith("shear") else 0)
+                    refine="m0" if layout.startswith("shear") else 0,
+                    warm_precision=warm)
             except Exception as exc:  # record and continue the sweep
                 results["points"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
                 print(f"{key}: FAILED {exc}", file=sys.stderr)
                 continue
             entry = {
                 "precision": prec,
+                "warm_precision": warm,
                 "refine": "m0" if layout.startswith("shear") else 0,
                 "steps_per_sec": round(1.0 / sec, 2),
                 "run_spread_pct": getattr(measure_step, "last_spread_pct", None),
@@ -332,6 +357,7 @@ def main():
                 refine=(lambda v: int(v) if v.isdigit() else v)(
                     os.environ.get("QUFLOW_BENCH_REFINE", "m0")
                 ),
+                warm_precision=os.environ.get("QUFLOW_BENCH_WARM") or None,
             )
             break
         except Exception as exc:

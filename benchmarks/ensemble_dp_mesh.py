@@ -118,10 +118,104 @@ def main():
                   "speedup claim)",
         "rows": rows,
     }
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        if "flagship" in prev:
+            out["flagship"] = prev["flagship"]
     with open(OUT, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
 
+def flagship():
+    """N=1024 dp-mesh rows (VERDICT r4 #6): back the 'dp across chips at
+    N>=1024' recommendation at flagship size.  dp in {2, 4, 8} over the 8
+    virtual CPU devices: dp=8 is pure data parallel (one trajectory per
+    device); dp=2/4 are the hybrid layouts (remaining devices tensor-shard
+    each trajectory 2-D).  Records aggregate steps/s, efficiency vs the
+    dp=8 row, and the collective census of each compiled program (pure dp
+    must stay all-to-all-free; hybrids add the shear_shard relayout's
+    ppermutes + scan all-gathers).
+
+    Wall times on virtual devices sharing host cores measure PROGRAM
+    overhead (collectives, relayouts), not hardware scaling - the honest
+    claim here is the relative cost of the hybrid layouts and the
+    communication census, which carry over to real chips."""
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from quflow_tpu.ops.geometry import hbar
+    from quflow_tpu.parallel.mesh import make_mesh
+    from quflow_tpu.parallel.stepper import build_step_fn, to_planes
+
+    N = 1024
+    batch = 8
+    steps = 3
+    dt = 0.25 * hbar(N)
+    rng = np.random.RandomState(7)
+
+    def skewh():
+        W = rng.randn(N, N) + 1j * rng.randn(N, N)
+        W = W - W.conj().T
+        W = W - np.eye(N) * np.trace(W) / N
+        return W / np.abs(W).max()
+
+    Ws = np.stack([skewh() for _ in range(batch)]).astype(np.complex64)
+    Wp = to_planes(Ws).astype(np.float32)
+    assert len(jax.devices()) == 8, jax.devices()
+    rows = {}
+    for dp in (8, 4, 2):
+        mesh = make_mesh(jax.devices(), dp=dp)
+        fn = build_step_fn(N, dt, steps=steps, maxit=5, dtype=np.complex64,
+                           compsum=True, planes_io=True, batched=True,
+                           mesh=mesh)
+        x = jax.device_put(jnp.asarray(Wp),
+                           NamedSharding(mesh, P(None, "dp", "i", "j")))
+        st = (x, jnp.zeros_like(x), jnp.zeros_like(x))
+        out = fn(*st)
+        jax.block_until_ready(out[0])
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(*st)
+            jax.block_until_ready(out[0])
+            walls.append(time.time() - t0)
+        wall = float(np.median(walls))
+        txt = jax.jit(fn.__wrapped__ if hasattr(fn, "__wrapped__")
+                      else fn).lower(*st).compile().as_text()
+        rows[f"dp{dp}"] = {
+            "mesh": f"dp={dp} x tensor {8 // dp}",
+            "wall_s": round(wall, 3),
+            "agg_steps_per_sec": round(batch * steps / wall, 2),
+            "collectives": _collective_counts(txt),
+        }
+        print(f"dp={dp}: {rows[f'dp{dp}']}", flush=True)
+    base = rows["dp8"]["agg_steps_per_sec"]
+    for dp in (8, 4, 2):
+        rows[f"dp{dp}"]["efficiency_vs_dp8"] = round(
+            rows[f"dp{dp}"]["agg_steps_per_sec"] / base, 3)
+    prev = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+    prev["flagship"] = {
+        "config": f"N={N}, batch={batch}, {steps} steps/call, maxit=5, "
+                  "compsum, c64 planes; 8 virtual CPU devices share host "
+                  "cores, so aggregate steps/s measures program/collective "
+                  "overhead between layouts, not hardware scaling",
+        "rows": rows,
+    }
+    with open(OUT, "w") as f:
+        json.dump(prev, f, indent=2)
+    print(f"written {OUT}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--flagship" in sys.argv:
+        flagship()
+    else:
+        main()

@@ -7,6 +7,9 @@ from .parallel.stepper import (
     IsompTPU,
     build_step_fn,
     build_poisson_fn,
+    build_mhd_step_fn,
+    build_dw_step_fn,
+    build_dw_mhd_step_fn,
     to_planes,
     from_planes,
 )
@@ -20,6 +23,9 @@ __all__ = [
     "IsompTPU",
     "build_step_fn",
     "build_poisson_fn",
+    "build_mhd_step_fn",
+    "build_dw_step_fn",
+    "build_dw_mhd_step_fn",
     "to_planes",
     "from_planes",
     "DiagTriDiagOp",

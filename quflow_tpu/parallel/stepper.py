@@ -65,7 +65,17 @@ from .shard_pack import (
     unpack_wrapped_sharded,
 )
 
-__all__ = ["build_step_fn", "build_poisson_fn", "IsompTPU"]
+__all__ = [
+    "build_step_fn",
+    "build_poisson_fn",
+    "build_planes_step_fn",
+    "build_dw_step_fn",
+    "build_mhd_step_fn",
+    "build_dw_mhd_step_fn",
+    "IsompTPU",
+    "to_planes",
+    "from_planes",
+]
 
 
 class _Fac:
@@ -609,7 +619,7 @@ def build_step_fn(
         # 2.7x vs unrefined (1.26e-4 -> 4.7e-5) at ~zero cost; it does NOT
         # improve enstrophy drift (7.7e-7 vs 4.1e-7 unrefined).  Full
         # refine=1 reaches 3.3e-6 Casimir at ~1.6x step cost; for drift
-        # beyond that use the double-word GEMM mode (precision='ozaki').
+        # beyond that use the double-word stepper (build_dw_step_fn).
         # Residuals always use the f64 operator (working-precision
         # residuals are cancellation noise).  In f64 the base solve is
         # already at roundoff; refinement off.  On the scan-row layouts
