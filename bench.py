@@ -206,8 +206,12 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
     measure_step.last_spread_pct = round(spread_pct, 1)
 
     # enough reps that the chained-solve wall time dwarfs the ~25 ms sync
-    # latency even at small N (at N=512 a solve is ~0.1 ms)
+    # latency even at small N (at N=512 a solve is ~0.1 ms); off-TPU the
+    # sync latency is negligible and the TPU-sized rep count would run for
+    # minutes, so cap it
     reps = max(50, int(2**25 / (N * N // 256)))
+    if jax.default_backend() != "tpu":
+        reps = min(reps, 100)
     float(poisson_only(Wri, reps))
     t0 = time.time()
     float(poisson_only(Wri, reps))
@@ -216,13 +220,23 @@ def measure_step(N, precision=PRECISION, layout="wrapped", steps=100, maxit=MAXI
     return sec_per_step, poisson_ms
 
 
-def roofline(N, sec_per_step, poisson_ms, precision, maxit=MAXIT):
+def _passes_of(spec):
+    p = _PASSES[spec.replace("_karatsuba", "")]
+    return p * 0.75 if spec.endswith("_karatsuba") else p
+
+
+def roofline(N, sec_per_step, poisson_ms, precision, maxit=MAXIT,
+             warm_precision=None, warm_iters=None):
     peak_bf16, peak_hbm = _chip_peaks()
     model_flops = _flops_per_step(N, maxit, precision)
     achieved = model_flops / sec_per_step
-    passes = _PASSES[precision.replace("_karatsuba", "")]
-    if precision.endswith("_karatsuba"):
-        passes = passes * 0.75  # 3 real matmuls instead of 4
+    passes = _passes_of(precision)
+    if warm_precision:
+        # mixed schedule: per-iteration pass counts differ; account the
+        # average so warm rows don't over-credit MFU
+        wi = max(maxit - 2, 0) if warm_iters is None else warm_iters
+        passes = (wi * _passes_of(warm_precision)
+                  + (maxit - wi) * passes) / maxit
     # solve bytes per Poisson core: read 2 f32 planes + 3 f32 factor arrays
     # (w, binv, u broadcast over N rows) + write 2 planes, ~N^2 each
     solve_bytes = (2 + 3 + 2) * 4 * N * N
@@ -313,7 +327,7 @@ def run_sweep(only=None):
                 "run_spread_pct": getattr(measure_step, "last_spread_pct", None),
                 "poisson_core_ms": round(pms, 3),
             }
-            entry.update(roofline(N, sec, pms, prec))
+            entry.update(roofline(N, sec, pms, prec, warm_precision=warm))
             # maxit poisson cores per step; the rest is the GEMM phase
             entry["gemm_fraction_of_step"] = round(
                 max(0.0, 1.0 - MAXIT * pms * 1e-3 / sec), 3
@@ -395,7 +409,9 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
         "run_spread_pct": getattr(measure_step, "last_spread_pct", None),
-        "mfu": roofline(N_HEADLINE, tpu_sec, poisson_ms, PRECISION),
+        "mfu": roofline(N_HEADLINE, tpu_sec, poisson_ms, PRECISION,
+                        warm_precision=os.environ.get("QUFLOW_BENCH_WARM")
+                        or None),
     }
     # sweep FIRST, compact headline LAST: the driver keeps only the tail of
     # stdout, so the headline must be the final line (round-4's BENCH_r04

@@ -143,7 +143,8 @@ def main():
         zd = abs(float(qf.enstrophy(Wf)) - z0)
         sps = timed_steps / el
         print(f"{maxit:>6}{cd:>12.3e}{ed:>12.3e}{zd:>12.3e}{sps:>9.1f}")
-        rows[f"maxit{maxit}"] = {
+        key = f"maxit{maxit}" + ("" if args.steps == 2000 else f"_{args.steps}")
+        rows[key] = {
             "maxit": maxit, "steps": args.steps,
             "casimir_drift": cd, "energy_drift": ed,
             "enstrophy_drift": zd, "steps_per_sec": round(sps, 1),

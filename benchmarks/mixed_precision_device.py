@@ -37,6 +37,9 @@ def main():
     parser.add_argument("--steps", type=int, default=1000)
     parser.add_argument("--chunk", type=int, default=250)
     parser.add_argument("--maxit", type=int, default=5)
+    parser.add_argument("--only", default=None,
+                        help="substring filter on config names; merges "
+                             "into an existing artifact")
     args = parser.parse_args()
 
     import numpy as np
@@ -47,6 +50,12 @@ def main():
     from quflow_tpu.parallel.stepper import build_step_fn, to_planes, from_planes
 
     N, maxit = args.N, args.maxit
+    # one artifact per size: the canonical N=1024 rows live in
+    # mixed_precision.json; other sizes get a suffixed file instead of
+    # clobbering it
+    global OUT
+    if N != 1024:
+        OUT = OUT.replace(".json", f"_{N}.json")
     flow = EulerFlow(N=N)
     W0 = flow.random_initial(lmax=10, seed=42)
     dt = 0.25 * flow.hbar
@@ -71,12 +80,21 @@ def main():
         "device": jax.devices()[0].device_kind,
         "rows": {},
     }
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        if prev.get("config") == results["config"]:
+            results["rows"] = prev.get("rows", {})
     print(f"N={N}, {args.steps} steps, maxit={maxit} on "
           f"{results['device']}")
     print(f"{'config':<26}{'steps/s':>9}{'Casimir':>11}{'energy':>11}"
           f"{'enstrophy':>11}{'vs-highest':>12}")
     W_ref = None
     for name, kw in configs:
+        if args.only and args.only not in name and name != "highest (production)":
+            # the 'highest' run always executes: it defines the
+            # deviation-vs-highest reference trajectory
+            continue
         fn = build_step_fn(N, dt, steps=args.chunk, maxit=maxit,
                            dtype=np.complex64, compsum=True, planes_io=True,
                            **kw)

@@ -902,7 +902,7 @@ class IsompTPU:
 
     def __init__(self, maxit=5, precision="highest", compsum=True, refine=None,
                  dtype=np.complex64, mesh=None, batched=False, tol=None,
-                 minit=1, warm=True, warm_precision=None, warm_iters=None,
+                 minit=1, warm=True, warm_precision="auto", warm_iters=None,
                  hamiltonian="poisson", forcing=None, strang_splitting=None,
                  layout="auto"):
         self.maxit = maxit
@@ -915,6 +915,22 @@ class IsompTPU:
         self.batched = batched
         self.tol = tol
         self.minit = minit
+        if warm_precision == "auto":
+            # production default (round 5): mixed-precision fixed point -
+            # warm iterations at 3-pass bf16, final iterations at the full
+            # 6-pass precision.  Trajectory deviation vs pure-'highest' is
+            # ~1e-7-class with unchanged conservation drift at N=1024 and
+            # N=2048 (benchmarks/mixed_precision.json,
+            # mixed_precision_2048.json) for ~14-16% wall-clock.  Only
+            # meaningful for the f32 device path at multi-pass precision;
+            # f64/c128 runs keep the pure schedule (precision flags are
+            # matmul-pass counts, a TPU bf16 concept).
+            warm_precision = None
+            if (self.dtype == np.complex64
+                    and str(precision).startswith("highest")):
+                warm_precision = ("high_karatsuba"
+                                  if str(precision).endswith("_karatsuba")
+                                  else "high")
         self.warm_precision = warm_precision
         self.warm_iters = warm_iters
         # physics hooks are BUILD-time configuration (they are baked into
