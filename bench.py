@@ -33,6 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_HEADLINE = int(os.environ.get("QUFLOW_BENCH_N", "1024"))
 MAXIT = 5
 PRECISION = os.environ.get("QUFLOW_BENCH_PRECISION", "highest")
+# headline measures the production default: mixed-precision fixed point
+# (3 warm 3-pass iterations + 2 full-precision; IsompTPU warm_precision
+# ='auto' since round 5 - accuracy evidence benchmarks/mixed_precision*.json).
+# QUFLOW_BENCH_WARM=none measures the pure-'highest' schedule.
+WARM = os.environ.get("QUFLOW_BENCH_WARM", "high")
+WARM = None if WARM in ("", "none", "0") else WARM
 SWEEP_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "benchmarks", "sweep_round2.json"
 )
@@ -371,7 +377,7 @@ def main():
                 refine=(lambda v: int(v) if v.isdigit() else v)(
                     os.environ.get("QUFLOW_BENCH_REFINE", "m0")
                 ),
-                warm_precision=os.environ.get("QUFLOW_BENCH_WARM") or None,
+                warm_precision=WARM,
             )
             break
         except Exception as exc:
@@ -408,10 +414,11 @@ def main():
         "value": round(1.0 / tpu_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "precision": PRECISION,
+        "warm_precision": WARM,
         "run_spread_pct": getattr(measure_step, "last_spread_pct", None),
         "mfu": roofline(N_HEADLINE, tpu_sec, poisson_ms, PRECISION,
-                        warm_precision=os.environ.get("QUFLOW_BENCH_WARM")
-                        or None),
+                        warm_precision=WARM),
     }
     # sweep FIRST, compact headline LAST: the driver keeps only the tail of
     # stdout, so the headline must be the final line (round-4's BENCH_r04

@@ -174,7 +174,16 @@ def _build_isomp_scan(
             return (i < maxit) & ~done
 
         inf = jnp.asarray(np.inf, dtype=W.real.dtype)
-        st0 = (jnp.asarray(0, dtype=jnp.int32), dW0, zero, zero, inf, inf)
+        # NOTE: FW gets its own zero buffer (zeros_like, not the `zero`
+        # object already used for the PWc slot) and degrades to a scalar
+        # placeholder when there is no forcing: an (N,N) carry slot that is
+        # never written is wasted buffer traffic, and ALIASING one device
+        # buffer into two carry slots of the same while_loop is exactly the
+        # kind of input aliasing a minimal TPU runtime may not implement
+        # (this runtime raises UNIMPLEMENTED at execution).
+        FW0 = (jnp.zeros_like(W) if forcing is not None
+               else jnp.zeros((), W.dtype))
+        st0 = (jnp.asarray(0, dtype=jnp.int32), dW0, zero, FW0, inf, inf)
         i, dW, PWc, FW, rn, rn_old = lax.while_loop(cond, body, st0)
         hit_maxit = (i >= maxit) & ~((rn <= tol) | (rn >= rn_old))
         return dW, PWc, FW, i, hit_maxit

@@ -76,7 +76,14 @@ def _build_magmp_scan(hamiltonian, forcing, reinitialize, timed, autonomous,
             return (i < maxit) & ~done
 
         inf = jnp.asarray(np.inf, dtype=W.real.dtype)
-        st0 = (jnp.asarray(0, dtype=jnp.int32), dW0, zero, zsingle, zero, inf, inf)
+        # FW gets its own buffer (scalar placeholder without forcing):
+        # aliasing one device buffer into two while-carry slots is input
+        # aliasing a minimal TPU runtime may not implement (see
+        # isospectral._build_isomp_scan)
+        FW0 = (jnp.zeros_like(W) if forcing is not None
+               else jnp.zeros((), W.dtype))
+        st0 = (jnp.asarray(0, dtype=jnp.int32), dW0, zero, zsingle, FW0,
+               inf, inf)
         i, dW, PWc, BTc, FW, rn, rn_old = lax.while_loop(cond, body, st0)
         hit = (i >= maxit) & ~((rn <= tol) | (rn >= rn_old))
         return dW, PWc, BTc, FW, i, hit

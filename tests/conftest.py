@@ -4,7 +4,13 @@ multi-chip sharding tests."""
 
 import os
 
-# Must happen before jax initializes its backends.
+# Must happen before jax initializes its backends.  Save the original
+# platform selection first: the opt-in device tests (test_tpu_device.py)
+# spawn subprocesses that must restore the accelerator env (in this
+# environment the TPU registers only when JAX_PLATFORMS=axon is set).
+if "JAX_PLATFORMS" in os.environ:
+    os.environ.setdefault("QUFLOW_ORIG_JAX_PLATFORMS",
+                          os.environ["JAX_PLATFORMS"])
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -20,6 +20,27 @@ import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+
+def _device_env():
+    """Subprocess env with the accelerator backend restored.
+
+    The conftest forces JAX_PLATFORMS=cpu for the default suite (saving
+    the original selection in QUFLOW_ORIG_JAX_PLATFORMS); this environment
+    registers its TPU through an explicit JAX_PLATFORMS entry plus a
+    PYTHONPATH site dir, so the child must get the original value back -
+    deleting the variable would silently fall to cpu - and the repo root
+    must be PREPENDED to PYTHONPATH, not replace it."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    orig = env.pop("QUFLOW_ORIG_JAX_PLATFORMS", None)
+    if orig is not None:
+        env["JAX_PLATFORMS"] = orig
+    elif env.get("JAX_PLATFORMS") == "cpu":
+        del env["JAX_PLATFORMS"]
+    repo = os.path.dirname(HERE)
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    return env
+
 _SCRIPT = r"""
 import signal, sys
 
@@ -65,12 +86,7 @@ print("TPU_DEVICE_OK")
     reason="set QUFLOW_TPU_TESTS=1 to run against the real TPU chip",
 )
 def test_reference_parity_apis_on_tpu():
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
-    }
-    env["PYTHONPATH"] = os.path.dirname(HERE)
+    env = _device_env()
     p = subprocess.run(
         [sys.executable, "-c", _SCRIPT],
         capture_output=True,
@@ -94,12 +110,7 @@ def test_flagship_conservation_n1024_on_tpu():
     spectrum (Casimirs) to f32 scale and enstrophy near roundoff.  The full
     10k-step table lives in benchmarks/conservation_device.py /
     benchmarks/conservation_1024.json."""
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
-    }
-    env["PYTHONPATH"] = os.path.dirname(HERE)
+    env = _device_env()
     script = r"""
 import signal
 
