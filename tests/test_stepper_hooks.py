@@ -288,3 +288,16 @@ def test_forced_qg_under_mesh():
     z1 = jnp.zeros_like(Wp1)
     ref = from_planes(np.asarray(fn1(Wp1, z1, z1)[0]))
     np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+def test_isomp_tpu_warm_auto_default():
+    """The round-5 production default: warm_precision='auto' resolves to
+    the 3-pass warm schedule for c64 'highest' runs and to None (pure
+    schedule) for f64/c128 or non-highest precisions."""
+    assert IsompTPU().warm_precision == "high"
+    assert IsompTPU(precision="highest_karatsuba").warm_precision \
+        == "high_karatsuba"
+    assert IsompTPU(dtype=np.complex128).warm_precision is None
+    assert IsompTPU(precision="high").warm_precision is None
+    assert IsompTPU(warm_precision=None).warm_precision is None
+    assert IsompTPU(warm_precision="default").warm_precision == "default"
