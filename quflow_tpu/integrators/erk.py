@@ -74,8 +74,12 @@ def _integrate(method, W, dt, steps, hamiltonian, forcing, stats=None):
     if hamiltonian is None:
         hamiltonian = partial(solve_poisson, skewh=True)
     run = _runner(method, hamiltonian, forcing)
+    # dt in the STATE's real dtype: with x64 enabled a f64 scalar would
+    # promote a c64 carry to c128 inside the scan (carry type mismatch)
+    rdt = np.zeros(1, np.dtype(W.dtype)).real.dtype
     with device_for_dtype(W.dtype):
-        out = device_get_complex(run(device_put_complex(W), jnp.asarray(dt), steps))
+        out = device_get_complex(
+            run(device_put_complex(W), jnp.asarray(dt, rdt), steps))
     if stats is not None:
         update_stats(stats, steps=steps)
     if isinstance(W, np.ndarray):

@@ -227,14 +227,39 @@ def _build_isomp_scan(
             nmaxit + hit.astype(jnp.int32),
         ), None
 
-    @partial(jax.jit, static_argnames=("steps",))
-    def run(W, dW, csum, time, vareps, tol, dt, steps):
+    def _scan_core(W, dW, csum, time, vareps, tol, dt, steps):
         i0 = jnp.asarray(0, dtype=jnp.int32)
         carry0 = (W, dW, csum, jnp.zeros_like(W), time, vareps, tol, dt, i0, i0)
         carry, _ = lax.scan(step, carry0, None, length=steps)
         W, dW, csum, upd, time, _, _, _, iters, nmaxit = carry
         return W, dW, csum, time, iters, nmaxit, upd
 
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(W, dW, csum, time, vareps, tol, dt, steps):
+        return _scan_core(W, dW, csum, time, vareps, tol, dt, steps)
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def run_planes(Sp, time, vareps, tol, dt, steps):
+        """Split-planes twin of ``run`` for accelerator targets: ONE real
+        (2, 3, ..., N, N) array carries (W, dW, csum) as (re/im, state).
+        This TPU runtime cannot execute jitted programs with more than one
+        complex64 array PARAMETER (measured: one complex argument runs,
+        three raise UNIMPLEMENTED at execution; tests/test_tpu_device.py),
+        and complex host<->device transfers don't exist either - planes
+        I/O solves both, exactly as the production stepper does
+        (parallel/stepper.py)."""
+        W = lax.complex(Sp[0, 0], Sp[1, 0])
+        dW = lax.complex(Sp[0, 1], Sp[1, 1])
+        csum = lax.complex(Sp[0, 2], Sp[1, 2])
+        W, dW, csum, time, iters, nmaxit, upd = _scan_core(
+            W, dW, csum, time, vareps, tol, dt, steps)
+        Sp_out = jnp.stack([
+            jnp.stack([W.real, dW.real, csum.real, upd.real]),
+            jnp.stack([W.imag, dW.imag, csum.imag, upd.imag]),
+        ])
+        return Sp_out, time, iters, nmaxit
+
+    run.planes = run_planes
     return run
 
 
@@ -354,27 +379,62 @@ def isomp_fixedpoint(
     total_maxit = 0
     with device_for_dtype(cdtype):
         rdt = Wj.real.dtype
-        dW = jnp.zeros_like(Wj)
-        csum = jnp.zeros_like(Wj)
         t = jnp.asarray(0.0 if time is None else time, dtype=rdt)
         vareps_j = jnp.asarray(vareps, dtype=rdt)
         tol_j = jnp.asarray(tol, dtype=rdt)
         dt_j = jnp.asarray(dt, dtype=rdt)
+        try:
+            on_cpu = list(Wj.devices())[0].platform == "cpu"
+        except Exception:
+            on_cpu = True
+        if not on_cpu:
+            # accelerator: ONE stacked split-planes array carries the
+            # whole complex state (W, dW, csum) across the jit boundary -
+            # this runtime executes at most one complex array parameter
+            # per program and has no complex transfers (see run.planes)
+            Wn = np.asarray(W)
+            zr = np.zeros_like(Wn.real)
+            Sp = jnp.asarray(np.stack([
+                np.stack([Wn.real, zr, zr]),
+                np.stack([Wn.imag, zr, zr]),
+            ]).astype(rdt))
         if callback is None:
-            Wj, dW, csum, t, iters, nmaxit, _ = run(
-                Wj, dW, csum, t, vareps_j, tol_j, dt_j, steps
-            )
+            if on_cpu:
+                dW = jnp.zeros_like(Wj)
+                csum = jnp.zeros_like(Wj)
+                Wj, dW, csum, t, iters, nmaxit, _ = run(
+                    Wj, dW, csum, t, vareps_j, tol_j, dt_j, steps
+                )
+            else:
+                Sp, t, iters, nmaxit = run.planes(
+                    Sp, t, vareps_j, tol_j, dt_j, steps)
             total_iters = int(iters)
             total_maxit = int(nmaxit)
         else:
+            if on_cpu:
+                dW = jnp.zeros_like(Wj)
+                csum = jnp.zeros_like(Wj)
             for _ in range(steps):
-                Wnew, dW, csum, t, iters, nmaxit, upd = run(
-                    Wj, dW, csum, t, vareps_j, tol_j, dt_j, 1
-                )
-                callback(Wj, upd)
-                Wj = Wnew
+                if on_cpu:
+                    Wnew, dW, csum, t, iters, nmaxit, upd = run(
+                        Wj, dW, csum, t, vareps_j, tol_j, dt_j, 1
+                    )
+                    W_prev = Wj
+                    Wj = Wnew
+                else:
+                    W_prev_p = np.asarray(Sp[:, 0])
+                    W_prev = W_prev_p[0] + 1j * W_prev_p[1]
+                    Sp_new, t, iters, nmaxit = run.planes(
+                        Sp, t, vareps_j, tol_j, dt_j, 1)
+                    Sp = Sp_new[:, :3]
+                    up = np.asarray(Sp_new[:, 3])
+                    upd = up[0] + 1j * up[1]
+                callback(W_prev, upd)
                 total_iters += int(iters)
                 total_maxit += int(nmaxit)
+        if not on_cpu:
+            Wp = np.asarray(Sp[:, 0])
+            Wj = (Wp[0] + 1j * Wp[1]).astype(cdtype)
 
     if verbatim:
         print(
@@ -386,7 +446,7 @@ def isomp_fixedpoint(
         stats["iterations"] = total_iters / steps
         stats["number_of_maxit"] = total_maxit / steps
 
-    out = device_get_complex(Wj)
+    out = Wj if isinstance(Wj, np.ndarray) else device_get_complex(Wj)
     if isinstance(W, np.ndarray):
         np.copyto(W, out)
         return W

@@ -101,14 +101,35 @@ def _build_magmp_scan(hamiltonian, forcing, reinitialize, timed, autonomous,
             time = time + dt
         return (W, dW, time, vareps, tol, dt, iters + i, nmaxit + hit.astype(jnp.int32)), None
 
-    @partial(jax.jit, static_argnames=("steps",))
-    def run(W, dW, time, vareps, tol, dt, steps):
+    def _scan_core(W, dW, time, vareps, tol, dt, steps):
         i0 = jnp.asarray(0, dtype=jnp.int32)
         carry0 = (W, dW, time, vareps, tol, dt, i0, i0)
         carry, _ = lax.scan(step, carry0, None, length=steps)
         W, dW, time, _, _, _, iters, nmaxit = carry
         return W, dW, time, iters, nmaxit
 
+    @partial(jax.jit, static_argnames=("steps",))
+    def run(W, dW, time, vareps, tol, dt, steps):
+        return _scan_core(W, dW, time, vareps, tol, dt, steps)
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def run_planes(Sp, time, vareps, tol, dt, steps):
+        """Split-planes twin for accelerator targets: one real
+        (2, 2, ..., 2, N, N) array carries (state, dW) as
+        (re/im, slot, ..., component, N, N).  This TPU runtime executes at
+        most one complex array parameter per jitted program (see
+        isospectral._build_isomp_scan.run_planes)."""
+        W = lax.complex(Sp[0, 0], Sp[1, 0])
+        dW = lax.complex(Sp[0, 1], Sp[1, 1])
+        W, dW, time, iters, nmaxit = _scan_core(
+            W, dW, time, vareps, tol, dt, steps)
+        Sp_out = jnp.stack([
+            jnp.stack([W.real, dW.real]),
+            jnp.stack([W.imag, dW.imag]),
+        ])
+        return Sp_out, time, iters, nmaxit
+
+    run.planes = run_planes
     return run
 
 
@@ -178,19 +199,48 @@ def magmp_fixedpoint(
     total_maxit = 0
     with device_for_dtype(cdtype):
         rdt = Wj.real.dtype
-        dW = jnp.zeros_like(Wj)
         t = jnp.asarray(0.0 if time is None else time, dtype=rdt)
         args = (jnp.asarray(vareps, rdt), jnp.asarray(tol, rdt), jnp.asarray(dt, rdt))
+        try:
+            on_cpu = list(Wj.devices())[0].platform == "cpu"
+        except Exception:
+            on_cpu = True
+        if not on_cpu:
+            # single split-planes array across the boundary (one complex
+            # parameter max on this runtime; see run.planes)
+            Wn = np.asarray(W)
+            zr = np.zeros_like(Wn.real)
+            Sp = jnp.asarray(np.stack([
+                np.stack([Wn.real, zr]),
+                np.stack([Wn.imag, zr]),
+            ]).astype(rdt))
         if callback is None:
-            Wj, dW, t, iters, nmaxit = run(Wj, dW, t, *args, steps)
+            if on_cpu:
+                dW = jnp.zeros_like(Wj)
+                Wj, dW, t, iters, nmaxit = run(Wj, dW, t, *args, steps)
+            else:
+                Sp, t, iters, nmaxit = run.planes(Sp, t, *args, steps)
             total_iters, total_maxit = int(iters), int(nmaxit)
         else:
+            if on_cpu:
+                dW = jnp.zeros_like(Wj)
             for _ in range(steps):
-                Wnew, dW, t, iters, nmaxit = run(Wj, dW, t, *args, 1)
-                callback(Wj, np.asarray(Wnew - Wj))
-                Wj = Wnew
+                if on_cpu:
+                    Wnew, dW, t, iters, nmaxit = run(Wj, dW, t, *args, 1)
+                    callback(Wj, np.asarray(Wnew - Wj))
+                    Wj = Wnew
+                else:
+                    Wp_prev = np.asarray(Sp[:, 0])
+                    W_prev = Wp_prev[0] + 1j * Wp_prev[1]
+                    Sp, t, iters, nmaxit = run.planes(Sp, t, *args, 1)
+                    Wp_new = np.asarray(Sp[:, 0])
+                    W_new = Wp_new[0] + 1j * Wp_new[1]
+                    callback(W_prev, W_new - W_prev)
                 total_iters += int(iters)
                 total_maxit += int(nmaxit)
+        if not on_cpu:
+            Wp = np.asarray(Sp[:, 0])
+            Wj = (Wp[0] + 1j * Wp[1]).astype(cdtype)
 
     if verbatim:
         print(
@@ -200,7 +250,7 @@ def magmp_fixedpoint(
         stats["iterations"] = total_iters / steps
         stats["maxit"] = total_maxit / steps
 
-    out = device_get_complex(Wj)
+    out = Wj if isinstance(Wj, np.ndarray) else device_get_complex(Wj)
     if isinstance(W, np.ndarray):
         np.copyto(W, out)
         return W

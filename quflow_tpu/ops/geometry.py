@@ -30,8 +30,13 @@ __all__ = [
 
 
 def hbar(N):
-    """Quantization constant hbar = 2/sqrt(N^2-1)."""
-    return 2.0 / np.sqrt(float(N) ** 2 - 1.0)
+    """Quantization constant hbar = 2/sqrt(N^2-1).
+
+    Returned as a PYTHON float (weakly typed in jax): an np.float64 scalar
+    would strongly promote complex64 arrays to complex128 under x64 - e.g.
+    bracket()'s `/ hbar(N)` inside a c64 scan carry (dtype mismatch on
+    TPU, where c64 is the working precision)."""
+    return float(2.0 / np.sqrt(float(N) ** 2 - 1.0))
 
 
 def _is_dia(A):
