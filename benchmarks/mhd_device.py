@@ -60,6 +60,10 @@ def main():
     parser.add_argument("--ladder", action="store_true",
                         help="precision ladder (unrefined/m0/refine=1)")
     parser.add_argument("--ladder-steps", type=int, default=4000)
+    parser.add_argument("--warm", action="store_true",
+                        help="warm mixed-precision sweep rows + a "
+                             "conservation spot-check at --N")
+    parser.add_argument("--warm-steps", type=int, default=4000)
     args = parser.parse_args()
 
     import numpy as np
@@ -98,7 +102,7 @@ def main():
         return (time.time() - t0) / 5
 
     # ---- throughput sweep --------------------------------------------------
-    if not args.skip_sweep:
+    def sweep_rows(warm=None, suffix=""):
         LAT = latency()
         for N in [int(x) for x in args.sweep_N.split(",")]:
             flow = MHDFlow(N=N)
@@ -106,7 +110,8 @@ def main():
             dt = 0.25 * flow.hbar
             steps = max(2000 // max(N // 512, 1) ** 3, 10)
             fn = build_mhd_step_fn(N, dt, steps=steps, maxit=5,
-                                   dtype=np.complex64, compsum=True)
+                                   dtype=np.complex64, compsum=True,
+                                   warm_precision=warm)
             Sp = jnp.asarray(to_planes(state0.astype(np.complex64))
                              .astype(np.float32))
             st = (Sp, jnp.zeros_like(Sp), jnp.zeros_like(Sp))
@@ -121,15 +126,28 @@ def main():
             med = float(np.median(times))
             spread = float((np.max(times) - np.min(times)) / med * 100)
             sps = steps / med
-            print(f"MHD sweep N={N}: {sps:.2f} steps/s "
+            print(f"MHD sweep N={N}{suffix}: {sps:.2f} steps/s "
                   f"(spread {spread:.1f}%)", flush=True)
-            results["sweep"][f"N{N}"] = {
+            row = {
                 "steps_per_sec": round(sps, 2),
                 "steps_per_call": steps,
                 "run_spread_pct": round(spread, 1),
             }
+            if warm is not None:
+                row["warm_precision"] = warm
+            results["sweep"][f"N{N}{suffix}"] = row
             with open(OUT, "w") as f:
                 json.dump(results, f, indent=2)
+
+    if not args.skip_sweep:
+        sweep_rows()
+    if args.warm:
+        # warm mixed-precision rows: the Euler stepper's round-5 production
+        # default (warm fixed-point iterations at 3-pass bf16 'high', final
+        # ones at 6-pass 'highest'; benchmarks/mixed_precision.json) applied
+        # to the magnetic midpoint, which runs 4 complex GEMMs/iteration so
+        # should pay at least as much as Euler's +14-22%
+        sweep_rows(warm="high", suffix="_warm")
 
     # ---- conservation / ladder / dw ---------------------------------------
     N = args.N
@@ -218,6 +236,33 @@ def main():
             conservation_run(
                 f"N{N} c64 {name}", fn, Sp32, args.ladder_steps, args.chunk,
                 {"maxit": 5, "compsum": True, "refine": refine})
+
+    if args.warm:
+        # spot-check: does the warm schedule change MHD conservation?  Same
+        # protocol as the Euler check (mixed_precision_2048.json): drift at
+        # the warm default vs the pure-'highest' production row, plus the
+        # short-horizon trajectory deviation between the two schedules
+        fn_w = build_mhd_step_fn(N, dt, steps=args.chunk, maxit=5,
+                                 dtype=np.complex64, compsum=True,
+                                 warm_precision="high")
+        conservation_run(
+            f"N{N} c64 warm", fn_w, Sp32, args.warm_steps, args.chunk,
+            {"maxit": 5, "compsum": True, "refine": "m0",
+             "warm_precision": "high"})
+        fn_p = build_mhd_step_fn(N, dt, steps=200, maxit=5,
+                                 dtype=np.complex64, compsum=True)
+        fn_w2 = build_mhd_step_fn(N, dt, steps=200, maxit=5,
+                                  dtype=np.complex64, compsum=True,
+                                  warm_precision="high")
+        zp = jnp.zeros_like(Sp32)
+        a = np.asarray(fn_p(Sp32, zp, zp)[0])
+        b = np.asarray(fn_w2(Sp32, zp, zp)[0])
+        dev = float(np.abs(a - b).max() / max(np.abs(a).max(), 1e-30))
+        results["conservation"][f"N{N} c64 warm"]["trajectory_deviation_200steps"] = dev
+        print(f"MHD warm trajectory deviation over 200 steps: {dev:.3e}",
+              flush=True)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
 
     if args.dw:
         # the Euler conservation gate's schedule (conservation_1024.json
