@@ -5,6 +5,7 @@ quflow_tpu.parallel.stepper; re-exported here for discoverability.
 
 from .parallel.stepper import (
     IsompTPU,
+    MagmpTPU,
     build_step_fn,
     build_poisson_fn,
     build_mhd_step_fn,
@@ -21,6 +22,7 @@ IsompCUDA = IsompTPU
 
 __all__ = [
     "IsompTPU",
+    "MagmpTPU",
     "build_step_fn",
     "build_poisson_fn",
     "build_mhd_step_fn",

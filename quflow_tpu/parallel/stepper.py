@@ -73,6 +73,7 @@ __all__ = [
     "build_mhd_step_fn",
     "build_dw_mhd_step_fn",
     "IsompTPU",
+    "MagmpTPU",
     "to_planes",
     "from_planes",
 ]
@@ -1009,6 +1010,125 @@ class IsompTPU:
             else:
                 # device-true per-step counts from the while_loop carry,
                 # emitted through the scan ys (one small int32 transfer)
+                counts = np.asarray(iters)
+                stats["iterations"] = float(counts.mean())
+                stats["iterations_series"] = counts
+                stats["number_of_maxit"] = int((counts >= self.maxit).sum())
+            stats["maxit"] = float(self.maxit)
+        if isinstance(W, np.ndarray) and W.flags.writeable:
+            np.copyto(W, out)
+            return W
+        return out
+
+
+class MagmpTPU:
+    """Drop-in MHD ``integrator`` for sim.solve backed by the device-resident
+    magnetic-midpoint stepper (:func:`build_mhd_step_fn`) - the MHD twin of
+    :class:`IsompTPU`.  The reference has no accelerated magmp at all
+    (reference quflow/integrators/mhd.py:235-456 is CPU numpy; its
+    experimental GPU path covers the Euler stepper only), so this adapter is
+    new TPU-native capability with the same integrator contract as IsompTPU:
+    warm-started dW / Kahan compensation planes resident between calls,
+    complex (2, N, N) state converted to split planes at the boundary, one
+    compiled program cached per (N, dt, steps), device-true iteration stats
+    under adaptive ``tol``, and a hard error on unsupported per-call kwargs.
+
+        integrator = MagmpTPU(maxit=5)
+        qf.solve(S0, dt=dt, steps=..., integrator=integrator, callback=sim)
+
+    with ``S0`` the stacked complex state ``np.stack([W, Theta])``.
+    """
+
+    def __init__(self, maxit=5, precision="highest", compsum=True, refine=None,
+                 dtype=np.complex64, mesh=None, batched=False, tol=None,
+                 minit=1, warm=True, warm_precision="auto", warm_iters=None,
+                 hamiltonian="poisson", forcing=None, strang_splitting=None,
+                 layout="auto"):
+        self.maxit = maxit
+        self.layout = layout
+        self.precision = precision
+        self.compsum = compsum
+        self.refine = refine
+        self.dtype = np.dtype(dtype)
+        self.mesh = mesh
+        self.batched = batched
+        self.tol = tol
+        self.minit = minit
+        if warm_precision == "auto":
+            # same production default as IsompTPU (round 5), restricted to
+            # the precision names the MHD stepper accepts (no karatsuba
+            # GEMM variant here): warm fixed-point iterations at 3-pass
+            # bf16 'high', final ones at 6-pass 'highest'.  Measured on
+            # device: conservation drift unchanged vs pure-'highest'
+            # (benchmarks/mhd_device.json rows 'N1024 c64 warm' vs
+            # 'production').
+            warm_precision = ("high" if (self.dtype == np.complex64
+                                         and str(precision) == "highest")
+                              else None)
+        self.warm_precision = warm_precision
+        self.warm_iters = warm_iters
+        self.hamiltonian = hamiltonian
+        self.forcing = forcing
+        self.strang_splitting = strang_splitting
+        self._timed = forcing is not None and _has_time_param(forcing)
+        self.warm = warm
+        self._fns = {}
+        self._state = None  # (dS, csum) device planes
+        self.stats = {}
+
+    def _fn(self, N, dt, steps):
+        key = (N, float(dt), int(steps))
+        if key not in self._fns:
+            self._fns[key] = build_mhd_step_fn(
+                N, dt, steps=steps, maxit=self.maxit, dtype=self.dtype,
+                compsum=self.compsum, mesh=self.mesh, batched=self.batched,
+                precision=self.precision, planes_io=True, refine=self.refine,
+                tol=self.tol, minit=self.minit,
+                warm_precision=self.warm_precision,
+                warm_iters=self.warm_iters,
+                hamiltonian=self.hamiltonian, forcing=self.forcing,
+                strang_splitting=self.strang_splitting,
+                layout=self.layout,
+            )
+        return self._fns[key]
+
+    def __call__(self, W, dt, steps=100, stats=None, time=None, **kwargs):
+        if kwargs:
+            raise TypeError(
+                f"MagmpTPU does not accept per-call integrator kwargs "
+                f"{sorted(kwargs)}; configure them on the constructor "
+                f"instead, or use the reference-semantics integrator "
+                f"quflow_tpu.magmp."
+            )
+        S_in = np.asarray(W)
+        if S_in.ndim < 3 or S_in.shape[-3] != 2:
+            raise ValueError(
+                f"MagmpTPU expects a two-component MHD state (..., 2, N, N) "
+                f"= stack([W, Theta]); got shape {S_in.shape}."
+            )
+        rd = np.float32 if self.dtype == np.complex64 else np.float64
+        Sp = jnp.asarray(to_planes(S_in).astype(rd))
+        if (not self.warm or self._state is None
+                or self._state[0].shape != Sp.shape):
+            z = jnp.zeros_like(Sp)
+            self._state = (z, z)
+        dS, csum = self._state
+        fn = self._fn(S_in.shape[-1], dt, steps)
+        if self._timed:
+            res = fn(Sp, dS, csum, 0.0 if time is None else float(time))
+        else:
+            res = fn(Sp, dS, csum)
+        if self.tol is not None:
+            Sp, dS, csum, iters = res
+        else:
+            Sp, dS, csum = res
+            iters = None
+        self._state = (dS, csum)
+        out = from_planes(np.asarray(Sp)).astype(S_in.dtype)
+        if stats is not None:
+            if iters is None:
+                stats["iterations"] = float(self.maxit)
+            else:
                 counts = np.asarray(iters)
                 stats["iterations"] = float(counts.mean())
                 stats["iterations_series"] = counts

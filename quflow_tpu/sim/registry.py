@@ -98,6 +98,30 @@ def _register_defaults():
 
     _REGISTRY.setdefault("isomp_tpu", isomp_tpu)
 
+    def magmp_tpu(W, dt, steps=100, **kwargs):
+        """Registrable device-resident MHD integrator (warm module-level
+        instance; MHD twin of isomp_tpu)."""
+        from ..parallel.stepper import MagmpTPU
+
+        global _MAGMP_TPU
+        try:
+            inst = _MAGMP_TPU
+        except NameError:
+            inst = None
+        if inst is None:
+            import numpy as _np
+
+            inst = MagmpTPU(
+                maxit=int(kwargs.pop("maxit", 5)),
+                dtype=_np.complex64 if kwargs.pop("fast", True) else _np.complex128,
+            )
+            globals()["_MAGMP_TPU"] = inst
+        for k in ("tol", "minit", "compsum", "verbatim", "time", "maxit", "fast"):
+            kwargs.pop(k, None)
+        return inst(W, dt, steps=steps, **kwargs)
+
+    _REGISTRY.setdefault("magmp_tpu", magmp_tpu)
+
     for mod, names in (
         (lap, ["solve_poisson", "solve_heat", "solve_helmholtz", "solve_viscdamp",
                "solve_globalqg", "laplace"]),

@@ -153,3 +153,74 @@ def test_mhd_sharded_step_equals_single():
     z1 = jnp.zeros_like(Sp1)
     ref = from_planes(np.asarray(fn1(Sp1, z1, z1)[0]))
     np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+def test_magmp_tpu_adapter_matches_magmp(oracle):
+    """MagmpTPU (the drop-in sim.solve integrator) == magmp at a fixed
+    iteration count, including stats filling and warm-state threading
+    across calls."""
+    from quflow_tpu.parallel.stepper import MagmpTPU
+
+    st0 = oracle["mhd_state0"]
+    dtm = float(oracle["mhd_dt"])
+    ref = magmp(st0.copy(), dtm, steps=20, tol=1e-18, maxit=8, minit=8)
+    integ = MagmpTPU(maxit=8, dtype=np.complex128)
+    stats = {}
+    out = integ(st0.copy(), dtm, steps=10, stats=stats)
+    out = integ(out, dtm, steps=10, stats=stats)
+    np.testing.assert_allclose(out, ref, atol=1e-12)
+    assert stats["iterations"] == 8.0 and stats["maxit"] == 8.0
+
+
+def test_magmp_tpu_adapter_adaptive_stats(oracle):
+    """Adaptive tol on the adapter returns device-true per-step iteration
+    counts (the reference's iterations-vs-time health diagnostic)."""
+    from quflow_tpu.parallel.stepper import MagmpTPU
+
+    st0 = oracle["mhd_state0"]
+    dtm = float(oracle["mhd_dt"])
+    integ = MagmpTPU(maxit=10, tol=1e-10, minit=1, dtype=np.complex128,
+                     compsum=False)
+    stats = {}
+    out = integ(st0.copy(), dtm, steps=20, stats=stats)
+    ref = magmp(st0.copy(), dtm, steps=20, tol=1e-10, maxit=10, minit=1)
+    np.testing.assert_allclose(out, ref, atol=1e-12)
+    assert stats["iterations_series"].shape == (20,)
+    assert 1 <= stats["iterations"] <= 10
+
+
+def test_magmp_tpu_in_solve(oracle):
+    """qf.solve drives an MHD simulation through the device-resident
+    adapter exactly as through the reference-semantics magmp."""
+    from quflow_tpu.parallel.stepper import MagmpTPU
+
+    st0 = oracle["mhd_state0"]
+    dtm = float(oracle["mhd_dt"])
+    ref = magmp(st0.copy(), dtm, steps=10, tol=1e-18, maxit=5, minit=5)
+    out = qf.solve(st0.copy(), dt=dtm, steps=10, steps_out=5,
+                   integrator=MagmpTPU(maxit=5, dtype=np.complex128),
+                   progress_bar=False)
+    np.testing.assert_allclose(out, ref, atol=1e-12)
+
+
+def test_magmp_tpu_rejects_per_call_kwargs(oracle):
+    """Physics is BUILD-time configuration: unsupported per-call kwargs are
+    a hard error, same contract as IsompTPU."""
+    from quflow_tpu.parallel.stepper import MagmpTPU
+
+    st0 = oracle["mhd_state0"]
+    integ = MagmpTPU(maxit=5, dtype=np.complex128)
+    with pytest.raises(TypeError, match="per-call integrator kwargs"):
+        integ(st0.copy(), 0.1, steps=1, forcing=lambda P, W: W)
+    with pytest.raises(ValueError, match="two-component"):
+        integ(st0[0].copy(), 0.1, steps=1)
+
+
+def test_magmp_tpu_registry_roundtrip():
+    """The declarative config registry resolves 'magmp_tpu' (runfile /
+    QuSimulation attr surface for the device MHD integrator)."""
+    from quflow_tpu.sim.registry import resolve, name_of
+
+    fn = resolve("magmp_tpu")
+    assert callable(fn)
+    assert name_of(fn) == "magmp_tpu"

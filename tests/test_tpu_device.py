@@ -159,3 +159,55 @@ print("TPU_CONSERVATION_OK")
     )
     assert p.returncode == 0, p.stdout + p.stderr
     assert "TPU_CONSERVATION_OK" in p.stdout
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("QUFLOW_TPU_TESTS") != "1",
+    reason="set QUFLOW_TPU_TESTS=1 to run against the real TPU chip",
+)
+def test_magmp_tpu_adapter_on_tpu():
+    """MagmpTPU (drop-in sim.solve MHD integrator) runs device-resident at
+    c64 and tracks the c128 host magmp trajectory to f32 scale."""
+    env = _device_env()
+    script = r"""
+import signal
+
+def _to(signum, frame):
+    raise TimeoutError("TPU wedged")
+
+signal.signal(signal.SIGALRM, _to)
+signal.alarm(420)
+
+import numpy as np
+import jax
+import quflow_tpu as qf
+from quflow_tpu.models import MHDFlow
+from quflow_tpu.integrators import magmp
+from quflow_tpu.parallel.stepper import MagmpTPU
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+N = 64
+flow = MHDFlow(N=N)
+S0 = flow.random_initial(lmax=8, seed=3)
+dt = 0.25 * flow.hbar
+integ = MagmpTPU(maxit=5)  # c64, warm_precision auto -> 'high'
+stats = {}
+out = integ(S0.astype(np.complex64).copy(), dt, steps=20, stats=stats)
+ref = magmp(S0.astype(np.complex128).copy(), dt, steps=20,
+            tol=1e-18, maxit=5, minit=5)
+err = np.abs(out.astype(np.complex128) - ref).max()
+print("MagmpTPU c64-on-TPU vs magmp c128-on-CPU:", err, stats)
+assert err < 5e-4, err
+print("MAGMP_TPU_OK")
+"""
+    p = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=os.path.dirname(HERE),
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "MAGMP_TPU_OK" in p.stdout
