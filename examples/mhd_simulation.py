@@ -7,8 +7,9 @@ conservation report (total energy = kinetic + magnetic, cross helicity
 tr(W Theta), and the Casimirs of each component).
 
 Run:  python examples/mhd_simulation.py [--N 64] [--steps 500]
-On a TPU host the same physics runs device-resident through
-quflow_tpu.parallel.stepper.build_mhd_step_fn (split-complex planes I/O).
+On a TPU host, pass --device to run device-resident through MagmpTPU
+(the drop-in sim.solve integrator over build_mhd_step_fn; c64 planes,
+warm mixed-precision production default).
 """
 
 import argparse
@@ -25,6 +26,8 @@ def main():
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--stepsize", type=float, default=0.25)
     parser.add_argument("--theta-scale", type=float, default=0.1)
+    parser.add_argument("--device", action="store_true",
+                        help="run device-resident (MagmpTPU, c64 planes)")
     args = parser.parse_args()
 
     import numpy as np
@@ -52,7 +55,15 @@ def main():
     print(f"N={args.N}: kinetic {k0:.6f}, magnetic {m0:.6f}, "
           f"cross helicity {c0:.6f}")
 
-    state = flow.step(state0.copy(), dt, steps=args.steps, maxit=10)
+    if args.device:
+        import numpy as _np
+        from quflow_tpu.parallel.stepper import MagmpTPU
+
+        integ = MagmpTPU(maxit=10)
+        state = integ(state0.astype(_np.complex64).copy(), dt,
+                      steps=args.steps).astype(state0.dtype)
+    else:
+        state = flow.step(state0.copy(), dt, steps=args.steps, maxit=10)
 
     k1, m1, c1 = energies(state)
     print(f"after {args.steps} magmp steps (dt = {args.stepsize}*hbar):")
