@@ -224,3 +224,21 @@ def test_magmp_tpu_registry_roundtrip():
     fn = resolve("magmp_tpu")
     assert callable(fn)
     assert name_of(fn) == "magmp_tpu"
+
+
+def test_magmp_tpu_adapter_under_mesh():
+    """MagmpTPU(mesh=...) shards the magnetic midpoint across the virtual
+    8-device mesh and matches the single-device adapter trajectory."""
+    import jax
+    from quflow_tpu.parallel import make_mesh
+    from quflow_tpu.parallel.stepper import MagmpTPU
+
+    N = 32
+    S = _rand_mhd_state(N, seed=13)
+    dt = 0.2 * hbar(N)
+    mesh = make_mesh(jax.devices(), dp=1)
+    out = MagmpTPU(maxit=5, dtype=np.complex128, compsum=False,
+                   mesh=mesh)(S.copy(), dt, steps=5)
+    ref = MagmpTPU(maxit=5, dtype=np.complex128, compsum=False)(
+        S.copy(), dt, steps=5)
+    np.testing.assert_allclose(out, ref, atol=1e-11)
