@@ -292,6 +292,11 @@ def run_sweep(only=None):
         (2048, "highest", 30, ("shear",), "high"),
         (4096, "highest_karatsuba", 10, ("shear_pallas",), "high_karatsuba"),
         (8192, "highest_karatsuba", 5, ("shear_pallas",), "high_karatsuba"),
+        # warm at the smaller sizes: N=1024 backs the warm headline with a
+        # sweep-protocol row; N=512 tests the prediction that the
+        # latency-bound size pays little (gemm_fraction 0.33)
+        (512, "highest", 200, ("shear",), "high"),
+        (1024, "highest", 100, ("shear",), "high"),
     ]
     for N, prec, steps, only_layouts, warm in cases:
         layouts = ("wrapped", "shear", "pallas")
